@@ -223,3 +223,124 @@ def g2_msm(points, scalars):
             continue
         acc = g2_add(acc, g2_mul(p, s))
     return acc
+
+
+# ---------------------------------------------------------------------------
+# Jacobian arithmetic over FQ2 (G2 fast path — no per-add inversions).
+# Points: (X, Y, Z) FQ2 triples, Z == zero -> infinity.
+# ---------------------------------------------------------------------------
+
+_FQ2_ZERO = FQ2.zero()
+_FQ2_ONE = FQ2.one()
+
+G2_JAC_INF = (_FQ2_ONE, _FQ2_ONE, _FQ2_ZERO)
+
+
+def g2_to_jacobian(p):
+    if p is None:
+        return G2_JAC_INF
+    return (p[0], p[1], _FQ2_ONE)
+
+
+def g2_from_jacobian(p):
+    X, Y, Z = p
+    if Z.is_zero():
+        return None
+    zinv = Z.inv()
+    zinv2 = zinv * zinv
+    return (X * zinv2, Y * zinv2 * zinv)
+
+
+def g2_double_jac(p):
+    X, Y, Z = p
+    if Z.is_zero() or Y.is_zero():
+        return G2_JAC_INF
+    A = X * X
+    B = Y * Y
+    C = B * B
+    t = X + B
+    D = (t * t - A - C) * 2
+    E = A * 3
+    F = E * E
+    X3 = F - D - D
+    Y3 = E * (D - X3) - C * 8
+    Z3 = Y * Z * 2
+    return (X3, Y3, Z3)
+
+
+def g2_add_jac(p, q):
+    X1, Y1, Z1 = p
+    X2, Y2, Z2 = q
+    if Z1.is_zero():
+        return q
+    if Z2.is_zero():
+        return p
+    Z1Z1 = Z1 * Z1
+    Z2Z2 = Z2 * Z2
+    U1 = X1 * Z2Z2
+    U2 = X2 * Z1Z1
+    S1 = Y1 * Z2 * Z2Z2
+    S2 = Y2 * Z1 * Z1Z1
+    if U1 == U2:
+        if S1 != S2:
+            return G2_JAC_INF
+        return g2_double_jac(p)
+    H = U2 - U1
+    I = (H * 2) * (H * 2)
+    J = H * I
+    rr = (S2 - S1) * 2
+    V = U1 * I
+    X3 = rr * rr - J - V * 2
+    Y3 = rr * (V - X3) - S1 * J * 2
+    t = Z1 + Z2
+    Z3 = (t * t - Z1Z1 - Z2Z2) * H
+    return (X3, Y3, Z3)
+
+
+def g2_mul_jac(p, k: int):
+    """Fast G2 scalar mul (Jacobian), affine in/out."""
+    k %= FR
+    if p is None or k == 0:
+        return None
+    acc = G2_JAC_INF
+    add = g2_to_jacobian(p)
+    while k:
+        if k & 1:
+            acc = g2_add_jac(acc, add)
+        add = g2_double_jac(add)
+        k >>= 1
+    return g2_from_jacobian(acc)
+
+
+class FixedBaseG2:
+    """Windowed fixed-base multiplier over G2 (mirrors setup's G1 table)."""
+
+    WINDOW = 8
+
+    def __init__(self, base=None):
+        base = base or g2_generator()
+        self.tables = []
+        cur = g2_to_jacobian(base)
+        n_windows = (256 + self.WINDOW - 1) // self.WINDOW
+        for _ in range(n_windows):
+            row = [G2_JAC_INF]
+            acc = G2_JAC_INF
+            for _ in range((1 << self.WINDOW) - 1):
+                acc = g2_add_jac(acc, cur)
+                row.append(acc)
+            self.tables.append(row)
+            for _ in range(self.WINDOW):
+                cur = g2_double_jac(cur)
+
+    def mul(self, k: int):
+        k %= FR
+        acc = G2_JAC_INF
+        w = 0
+        mask = (1 << self.WINDOW) - 1
+        while k:
+            d = k & mask
+            if d:
+                acc = g2_add_jac(acc, self.tables[w][d])
+            k >>= self.WINDOW
+            w += 1
+        return g2_from_jacobian(acc)

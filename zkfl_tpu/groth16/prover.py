@@ -1,0 +1,223 @@
+"""Groth16 prover — pure-Python reference engine.
+
+Replaces `snarkjs groth16 prove` (reference hot path at
+full_system_simulation.mjs:770-780; ~95% of round latency per SURVEY §3.3).
+This module is the correctness oracle and the small-circuit fallback; the
+TPU production path (zkfl_tpu/groth16/jax_prover.py) runs the same algebra
+through batched limb kernels and is cross-checked against this one.
+
+Proof: pi_A = alpha + sum s_i A_i(tau) + r delta
+       pi_B = beta  + sum s_i B_i(tau) + s delta          (G2)
+       pi_C = sum_priv s_i K_i/delta + h(tau) Z(tau)/delta
+              + s pi_A + r pi_B1 - r s delta              (G1)
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple
+
+from ..field.bn254 import FR
+from ..field.curve import (
+    G2_JAC_INF,
+    g1_add_jac,
+    g1_double_jac,
+    g1_from_jacobian,
+    g1_to_jacobian,
+    g2_add_jac,
+    g2_double_jac,
+    g2_from_jacobian,
+    g2_to_jacobian,
+)
+from ..r1cs.builder import ConstraintSystem
+from .qap import compute_h_coeffs, matrix_evals
+from .setup import ProvingKey
+
+
+@dataclass
+class Proof:
+    pi_a: tuple
+    pi_b: tuple  # G2 point (FQ2 coords)
+    pi_c: tuple
+    public_signals: List[int]
+
+
+def _auto_window(n: int) -> int:
+    """Pippenger window ~ log2(n) - 2, clamped: balances n adds/window
+    against 2^c bucket-reduction adds."""
+    return max(2, min(13, n.bit_length() - 2))
+
+
+def pippenger_g1(points: Sequence[Optional[tuple]], scalars: Sequence[int], window: int = 0):
+    """Bucketed MSM over G1 (Jacobian accumulation).  Reference/CPU path."""
+    pairs = [(p, s % FR) for p, s in zip(points, scalars) if p is not None and s % FR]
+    if not pairs:
+        return None
+    window = window or _auto_window(len(pairs))
+    n_buckets = 1 << window
+    n_windows = (254 + window - 1) // window
+    total = (1, 1, 0)
+    for w in range(n_windows - 1, -1, -1):
+        shift = w * window
+        buckets = [None] * n_buckets
+        for p, s in pairs:
+            d = (s >> shift) & (n_buckets - 1)
+            if d:
+                jp = g1_to_jacobian(p)
+                buckets[d] = g1_add_jac(buckets[d], jp) if buckets[d] is not None else jp
+        # running-sum bucket reduction
+        running = (1, 1, 0)
+        acc = (1, 1, 0)
+        for d in range(n_buckets - 1, 0, -1):
+            if buckets[d] is not None:
+                running = g1_add_jac(running, buckets[d])
+            acc = g1_add_jac(acc, running)
+        if w != n_windows - 1:
+            for _ in range(window):
+                total = g1_double_jac(total)
+        total = g1_add_jac(total, acc)
+    return g1_from_jacobian(total)
+
+
+def msm_g2(points, scalars, window: int = 0):
+    """Bucketed Pippenger MSM over G2 (Jacobian, no inversions)."""
+    pairs = [(p, s % FR) for p, s in zip(points, scalars) if p is not None and s % FR]
+    if not pairs:
+        return None
+    window = window or _auto_window(len(pairs))
+    n_buckets = 1 << window
+    n_windows = (254 + window - 1) // window
+    total = G2_JAC_INF
+    for w in range(n_windows - 1, -1, -1):
+        shift = w * window
+        buckets = [None] * n_buckets
+        for p, s in pairs:
+            d = (s >> shift) & (n_buckets - 1)
+            if d:
+                jp = g2_to_jacobian(p)
+                buckets[d] = g2_add_jac(buckets[d], jp) if buckets[d] is not None else jp
+        running = G2_JAC_INF
+        acc = G2_JAC_INF
+        for d in range(n_buckets - 1, 0, -1):
+            if buckets[d] is not None:
+                running = g2_add_jac(running, buckets[d])
+            acc = g2_add_jac(acc, running)
+        if w != n_windows - 1:
+            for _ in range(window):
+                total = g2_double_jac(total)
+        total = g2_add_jac(total, acc)
+    return g2_from_jacobian(total)
+
+
+def mul_g2(p, k: int):
+    k %= FR
+    if p is None or k == 0:
+        return None
+    acc = G2_JAC_INF
+    add = g2_to_jacobian(p)
+    while k:
+        if k & 1:
+            acc = g2_add_jac(acc, add)
+        add = g2_double_jac(add)
+        k >>= 1
+    return g2_from_jacobian(acc)
+
+
+def _derive_blinding(witness: Sequence[int], tag: str) -> int:
+    """Deterministic r/s nonces (RFC6979-style): hashes the witness so tests
+    are reproducible while remaining witness-dependent."""
+    h = hashlib.sha256()
+    h.update(tag.encode())
+    for v in witness[: min(len(witness), 64)]:
+        h.update(v.to_bytes(32, "little"))
+    return int.from_bytes(h.digest() + hashlib.sha256(h.digest()).digest(), "big") % FR
+
+
+def groth16_prove(
+    pk: ProvingKey,
+    structure: ConstraintSystem,
+    witness: Optional[Sequence[int]] = None,
+    msm_g1=None,
+) -> Proof:
+    """Prove `witness` against the circuit `structure` (a CS built in
+    structure mode, carrying the constraint matrices).  When `witness` is
+    None the structure's own values are used.  A witness produced by the
+    fast value-only pass (circuits.generate_witness) must be passed
+    explicitly — its CS records no constraints.  `msm_g1` is pluggable so
+    the JAX/TPU engine can drive the same proof assembly."""
+    msm_g1 = msm_g1 or pippenger_g1
+    if not structure.constraints:
+        raise ValueError(
+            "groth16_prove needs the structure-mode ConstraintSystem "
+            "(witness-only CS has no constraint matrices)"
+        )
+    witness = list(witness) if witness is not None else structure.witness
+    n_pub = pk.n_pub
+    n_wires = structure.n_wires
+    if len(witness) != n_wires:
+        raise ValueError(f"witness length {len(witness)} != wires {n_wires}")
+
+    a_e, b_e, c_e = matrix_evals(structure.constraints, witness, pk.domain)
+    h = compute_h_coeffs(a_e, b_e, c_e)
+
+    r = _derive_blinding(witness, "r")
+    s = _derive_blinding(witness, "s")
+
+    # pi_A
+    pi_a_j = g1_to_jacobian(pk.alpha1)
+    msm_a = msm_g1(pk.a_query, witness)
+    if msm_a is not None:
+        pi_a_j = g1_add_jac(pi_a_j, g1_to_jacobian(msm_a))
+    pi_a_j = g1_add_jac(pi_a_j, mul_g1(pk.delta1, r))
+    pi_a = g1_from_jacobian(pi_a_j)
+
+    # pi_B (G2) and its G1 mirror
+    pi_b_j = g2_to_jacobian(pk.beta2)
+    msm_b2 = msm_g2(pk.b2_query, witness)
+    if msm_b2 is not None:
+        pi_b_j = g2_add_jac(pi_b_j, g2_to_jacobian(msm_b2))
+    if s:
+        pi_b_j = g2_add_jac(pi_b_j, g2_to_jacobian(mul_g2(pk.delta2, s)))
+    pi_b = g2_from_jacobian(pi_b_j)
+
+    pi_b1_j = g1_to_jacobian(pk.beta1)
+    msm_b1 = msm_g1(pk.b1_query, witness)
+    if msm_b1 is not None:
+        pi_b1_j = g1_add_jac(pi_b1_j, g1_to_jacobian(msm_b1))
+    pi_b1_j = g1_add_jac(pi_b1_j, mul_g1(pk.delta1, s))
+    pi_b1 = g1_from_jacobian(pi_b1_j)
+
+    # pi_C
+    pi_c_j = (1, 1, 0)
+    priv = witness[n_pub + 1 :]
+    msm_c = msm_g1(pk.c_query, priv)
+    if msm_c is not None:
+        pi_c_j = g1_add_jac(pi_c_j, g1_to_jacobian(msm_c))
+    msm_h = msm_g1(pk.h_query, h[: len(pk.h_query)])
+    if msm_h is not None:
+        pi_c_j = g1_add_jac(pi_c_j, g1_to_jacobian(msm_h))
+    pi_c_j = g1_add_jac(pi_c_j, mul_g1(pi_a, s))
+    pi_c_j = g1_add_jac(pi_c_j, mul_g1(pi_b1, r))
+    pi_c_j = g1_add_jac(pi_c_j, mul_g1(pk.delta1, (-r * s) % FR))
+    pi_c = g1_from_jacobian(pi_c_j)
+
+    return Proof(
+        pi_a=pi_a, pi_b=pi_b, pi_c=pi_c,
+        public_signals=[x % FR for x in witness[1 : n_pub + 1]],
+    )
+
+
+def mul_g1(p, k: int):
+    """Scalar mul returning Jacobian (internal helper)."""
+    k %= FR
+    acc = (1, 1, 0)
+    if p is None or k == 0:
+        return acc
+    add = g1_to_jacobian(p)
+    while k:
+        if k & 1:
+            acc = g1_add_jac(acc, add)
+        add = g1_double_jac(add)
+        k >>= 1
+    return acc

@@ -1,0 +1,224 @@
+"""Groth16 trusted setup (deterministic, test-grade).
+
+Replaces the reference's `snarkjs groth16 setup` + ptau ceremony
+(full_system_simulation.mjs:713-736, README.md:225-231).  The environment has
+no network access to Hermez ptau files, so we run our own phase-1+2 with
+toxic waste derived deterministically from a seed.  THIS IS FOR
+DEVELOPMENT/BENCHMARKING: anyone knowing the seed can forge proofs; a
+production deployment would substitute a real MPC ceremony (the key formats
+are identical).
+
+Key equations (Groth16, asymmetric pairing):
+  pk: [alpha]1, [beta]1, [delta]1, [beta]2, [delta]2,
+      A_i = [A_i(tau)]1,  B1_i = [B_i(tau)]1,  B2_i = [B_i(tau)]2,
+      C_i = [(beta A_i(tau) + alpha B_i(tau) + C_i(tau)) / delta]1  (private i),
+      H_k = [tau^k Z(tau) / delta]1  for k = 0..n-2.
+  vk: [alpha]1, [beta]2, [gamma]2, [delta]2,
+      IC_i = [(beta A_i + alpha B_i + C_i) / gamma]1  (public i, incl. wire 0).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import pickle
+from dataclasses import dataclass
+from pathlib import Path
+from typing import List, Optional, Tuple
+
+from ..field.bn254 import FR, domain_size_for, fr_batch_inv, fr_inv, fr_nth_root
+from ..field.curve import (
+    FixedBaseG2,
+    g1_add_jac,
+    g1_double_jac,
+    g1_from_jacobian,
+    g1_generator,
+    g1_to_jacobian,
+)
+from ..r1cs.builder import ConstraintSystem
+
+
+class FixedBaseG1:
+    """Windowed fixed-base multiplier for many scalars times one G1 base."""
+
+    WINDOW = 8
+
+    def __init__(self, base=None):
+        base = base or g1_generator()
+        self.tables = []
+        cur = g1_to_jacobian(base)
+        n_windows = (256 + self.WINDOW - 1) // self.WINDOW
+        for _ in range(n_windows):
+            row = [(1, 1, 0)]
+            acc = (1, 1, 0)
+            for _ in range((1 << self.WINDOW) - 1):
+                acc = g1_add_jac(acc, cur)
+                row.append(acc)
+            self.tables.append(row)
+            for _ in range(self.WINDOW):
+                cur = g1_double_jac(cur)
+
+    def mul(self, k: int):
+        k %= FR
+        acc = (1, 1, 0)
+        w = 0
+        mask = (1 << self.WINDOW) - 1
+        while k:
+            d = k & mask
+            if d:
+                acc = g1_add_jac(acc, self.tables[w][d])
+            k >>= self.WINDOW
+            w += 1
+        return g1_from_jacobian(acc)
+
+    def mul_many(self, scalars):
+        return [self.mul(s) for s in scalars]
+
+
+@dataclass
+class ProvingKey:
+    n_pub: int
+    domain: int
+    alpha1: tuple
+    beta1: tuple
+    delta1: tuple
+    beta2: tuple
+    delta2: tuple
+    a_query: List[Optional[tuple]]       # [A_i(tau)]1, all wires
+    b1_query: List[Optional[tuple]]      # [B_i(tau)]1, all wires
+    b2_query: List[Optional[tuple]]      # [B_i(tau)]2, all wires
+    c_query: List[Optional[tuple]]       # private wires only (index i - n_pub - 1)
+    h_query: List[Optional[tuple]]       # [tau^k Z(tau)/delta]1
+
+
+@dataclass
+class VerifyingKey:
+    alpha1: tuple
+    beta2: tuple
+    gamma2: tuple
+    delta2: tuple
+    ic: List[Optional[tuple]]            # public wires incl. constant-1 wire
+
+
+def _toxic_waste(seed: str) -> Tuple[int, int, int, int, int]:
+    out = []
+    for tag in ("tau", "alpha", "beta", "gamma", "delta"):
+        h = hashlib.sha256(f"zkfl-setup|{seed}|{tag}".encode()).digest()
+        out.append(int.from_bytes(h + hashlib.sha256(h).digest(), "big") % FR or 1)
+    return tuple(out)
+
+
+def lagrange_evals_at(tau: int, n: int) -> List[int]:
+    """L_j(tau) for the size-n roots-of-unity domain, via batch inversion:
+    L_j(tau) = (tau^n - 1) * w^j / (n * (tau - w^j))."""
+    w = fr_nth_root(n)
+    z_tau = (pow(tau, n, FR) - 1) % FR
+    if z_tau == 0:
+        raise ValueError("tau landed inside the domain; pick another seed")
+    powers = [1] * n
+    for j in range(1, n):
+        powers[j] = powers[j - 1] * w % FR
+    denoms = [(tau - powers[j]) % FR for j in range(n)]
+    inv_denoms = fr_batch_inv(denoms)
+    n_inv = fr_inv(n)
+    scale = z_tau * n_inv % FR
+    return [scale * powers[j] % FR * inv_denoms[j] % FR for j in range(n)]
+
+
+def wire_evals(cs: ConstraintSystem, tau: int, domain: int):
+    """A_i(tau), B_i(tau), C_i(tau) per wire via one pass over constraints."""
+    lag = lagrange_evals_at(tau, domain)
+    m = cs.n_wires
+    a = [0] * m
+    b = [0] * m
+    c = [0] * m
+    for j, (A, B, C) in enumerate(cs.constraints):
+        lj = lag[j]
+        for wdx, coef in A.items():
+            a[wdx] = (a[wdx] + coef * lj) % FR
+        for wdx, coef in B.items():
+            b[wdx] = (b[wdx] + coef * lj) % FR
+        for wdx, coef in C.items():
+            c[wdx] = (c[wdx] + coef * lj) % FR
+    return a, b, c
+
+
+def groth16_setup(cs: ConstraintSystem, seed: str = "zkfl-dev") -> Tuple[ProvingKey, VerifyingKey]:
+    tau, alpha, beta, gamma, delta = _toxic_waste(seed)
+    domain = domain_size_for(len(cs.constraints) + 1)
+    m = cs.n_wires
+    n_pub = cs.n_pub
+
+    a_t, b_t, c_t = wire_evals(cs, tau, domain)
+
+    gamma_inv = fr_inv(gamma)
+    delta_inv = fr_inv(delta)
+
+    fb1 = FixedBaseG1()
+    fb2 = FixedBaseG2()
+
+    def e1(scalar):
+        return fb1.mul(scalar) if scalar % FR else None
+
+    def e2(scalar):
+        return fb2.mul(scalar) if scalar % FR else None
+
+    a_query = [e1(a_t[i]) for i in range(m)]
+    b1_query = [e1(b_t[i]) for i in range(m)]
+    b2_query = [e2(b_t[i]) for i in range(m)]
+
+    def kterm(i):
+        return (beta * a_t[i] + alpha * b_t[i] + c_t[i]) % FR
+
+    ic = [e1(kterm(i) * gamma_inv % FR) for i in range(n_pub + 1)]
+    c_query = [e1(kterm(i) * delta_inv % FR) for i in range(n_pub + 1, m)]
+
+    z_tau = (pow(tau, domain, FR) - 1) % FR
+    h_query = []
+    t_pow = 1
+    for _ in range(domain - 1):
+        h_query.append(e1(t_pow * z_tau % FR * delta_inv % FR))
+        t_pow = t_pow * tau % FR
+
+    pk = ProvingKey(
+        n_pub=n_pub,
+        domain=domain,
+        alpha1=fb1.mul(alpha),
+        beta1=fb1.mul(beta),
+        delta1=fb1.mul(delta),
+        beta2=fb2.mul(beta),
+        delta2=fb2.mul(delta),
+        a_query=a_query,
+        b1_query=b1_query,
+        b2_query=b2_query,
+        c_query=c_query,
+        h_query=h_query,
+    )
+    vk = VerifyingKey(
+        alpha1=pk.alpha1,
+        beta2=pk.beta2,
+        gamma2=fb2.mul(gamma),
+        delta2=pk.delta2,
+        ic=ic,
+    )
+    return pk, vk
+
+
+# ---------------------------------------------------------------------------
+# Disk cache, mirroring the reference's artifact reuse
+# (full_system_simulation.mjs:698-739: compile/setup skipped when cached).
+# ---------------------------------------------------------------------------
+
+def setup_cached(cs: ConstraintSystem, cache_dir: str, seed: str = "zkfl-dev"):
+    cache = Path(cache_dir)
+    cache.mkdir(parents=True, exist_ok=True)
+    fingerprint = hashlib.sha256(
+        f"{cs.name}|{len(cs.constraints)}|{cs.n_wires}|{cs.n_pub}|{seed}".encode()
+    ).hexdigest()[:16]
+    path = cache / f"{cs.name}_{fingerprint}.zkey.pkl"
+    if path.exists():
+        with open(path, "rb") as f:
+            return pickle.load(f)
+    keys = groth16_setup(cs, seed)
+    with open(path, "wb") as f:
+        pickle.dump(keys, f)
+    return keys
