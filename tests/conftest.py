@@ -7,10 +7,20 @@ path).  Set before any jax import.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+# Force CPU: the ambient environment pins JAX to the tunneled TPU (axon),
+# whose per-shape remote compiles are far too slow for a test suite.  The
+# axon site hook overrides JAX_PLATFORMS via jax.config, so we must counter
+# at the config level, before any backend initialisation.  Set
+# ZKFL_TEST_TPU=1 to run the suite against the real chip instead.
+if not os.environ.get("ZKFL_TEST_TPU"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
