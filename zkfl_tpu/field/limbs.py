@@ -35,17 +35,14 @@ R_BITS = N_LIMBS * LIMB_BITS  # 256
 R = 1 << R_BITS
 
 
-def _antidiag_onehot(offset: int) -> np.ndarray:
-    """[256, 32] int32: E[i*16+j, k] = 1 iff i + j + offset == k."""
-    e = np.zeros((N_LIMBS * N_LIMBS, 2 * N_LIMBS), dtype=np.int32)
-    for i in range(N_LIMBS):
-        for j in range(N_LIMBS):
-            e[i * N_LIMBS + j, i + j + offset] = 1
-    return e
-
-
-_ANTIDIAG_LO = jnp.asarray(_antidiag_onehot(0))
-_ANTIDIAG_HI = jnp.asarray(_antidiag_onehot(1))
+# Skew-gather index for _mul_wide: rows padded to width 32 then flattened;
+# element (i, k) of the anti-diagonal view lives at 31*i + k (row stride 32
+# minus one for the per-row shift).  Max index 31*15 + 31 = 496 < 512; the
+# spill region k < i lands in the previous row's zero padding.
+_SKEW_IDX = jnp.asarray(
+    31 * np.arange(N_LIMBS, dtype=np.int32)[:, None]
+    + np.arange(2 * N_LIMBS, dtype=np.int32)[None, :]
+)
 
 
 def int_to_limbs(x: int) -> np.ndarray:
@@ -140,20 +137,29 @@ class LimbField:
         """Full 512-bit product: uint32[...,16] x uint32[...,16] ->
         normalised uint32[...,32] 16-bit limbs.
 
-        Formulated as ONE anti-diagonal-reduction matmul (products matrix
-        [..., 256] x one-hot [256, 32]) instead of 256 scattered adds —
-        this is what lets XLA tile the limb math onto the MXU/VPU instead
-        of scalar-looping."""
+        Anti-diagonal reduction by shift-add: row i of the product matrix
+        contributes at columns i..i+16, so pad each row by its offset and
+        sum over rows — 32 whole-row vector adds on the VPU, no scatter,
+        no sparse one-hot matmul.  Each column accumulates <= 32 terms
+        < 2^16 so uint32 never overflows."""
         prod = a[..., :, None] * b[..., None, :]  # [..., 16, 16] uint32
-        lo = (prod & LIMB_MASK).astype(jnp.int32)
-        hi = (prod >> LIMB_BITS).astype(jnp.int32)
-        batch = prod.shape[:-2]
-        lo = lo.reshape(batch + (N_LIMBS * N_LIMBS,))
-        hi = hi.reshape(batch + (N_LIMBS * N_LIMBS,))
-        # cols[k] = sum_{i+j=k} lo[i,j] + sum_{i+j=k-1} hi[i,j]; each column
-        # accumulates <= 32 terms < 2^16 so int32 never overflows.
-        cols = jnp.matmul(lo, _ANTIDIAG_LO) + jnp.matmul(hi, _ANTIDIAG_HI)
-        return LimbField._carry_propagate(cols.astype(jnp.uint32), 2 * N_LIMBS)
+        lo = prod & LIMB_MASK
+        hi = prod >> LIMB_BITS
+        zeros = jnp.zeros_like(lo)
+        one = jnp.zeros_like(lo[..., :1])
+        # Row i shifted by i via strided gather: pad rows to width 32 and
+        # read the flattened buffer at 31*i + k (row stride 32 minus shift
+        # stride 1).  hi rows are pre-shifted one limb inside the pad.
+        lo_p = jnp.concatenate([lo, zeros], axis=-1).reshape(
+            lo.shape[:-2] + (2 * N_LIMBS * N_LIMBS,)
+        )
+        hi_p = jnp.concatenate([one, hi, zeros[..., 1:]], axis=-1).reshape(
+            hi.shape[:-2] + (2 * N_LIMBS * N_LIMBS,)
+        )
+        cols = jnp.take(lo_p, _SKEW_IDX, axis=-1).sum(axis=-2) + jnp.take(
+            hi_p, _SKEW_IDX, axis=-1
+        ).sum(axis=-2)
+        return LimbField._carry_propagate(cols, 2 * N_LIMBS)
 
     @staticmethod
     def _mul_low(a, b):
