@@ -81,3 +81,15 @@ def test_msm_single_point():
     p = rand_points(1)[0]
     k = rng.randrange(FR)
     assert msm_g1_device([p], [k]) == g1_mul(p, k)
+
+
+def test_msm_g2_matches_host():
+    from zkfl_tpu.field.curve import g2_generator, g2_mul, g2_msm
+    from zkfl_tpu.ops.curve import msm_g2_device
+
+    g2 = g2_generator()
+    pts = [g2_mul(g2, rng.randrange(1, 10**6)) for _ in range(3)] + [None]
+    scs = [rng.randrange(FR) for _ in range(3)] + [7]
+    got = msm_g2_device(pts, scs)
+    want = g2_msm(pts, scs)
+    assert got == want

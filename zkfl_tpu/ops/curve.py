@@ -1,23 +1,24 @@
-"""Batched G1 curve arithmetic + MSM on TPU (limb tensors, JAX/XLA).
+"""Batched G1/G2 curve arithmetic + MSM on TPU (limb tensors, JAX/XLA).
 
 Replaces snarkjs's ffjavascript MSM (the Groth16 prove hot path,
 full_system_simulation.mjs:770-780; ~95% of reference round latency per
 SURVEY §3.3) with an XLA-friendly formulation:
 
-  * Points are projective (X:Y:Z) limb tensors over FQ in Montgomery form,
-    shape [..., 3, 16].  The identity is (0:1:0).
+  * G1 points are projective (X:Y:Z) limb tensors over FQ in Montgomery
+    form, shape [..., 3, 16]; G2 points carry Fq2 coordinates (pairs of FQ
+    limbs), shape [..., 3, 2, 16].  The identity is (0:1:0).
   * Point addition uses the COMPLETE formulas of Renes-Costello-Batina 2015
-    (Algorithm 7/9 for a=0, b3=3b=9): branchless, no doubling/infinity edge
-    cases — every lane executes the same instructions, which is exactly
-    what the VPU wants.
-  * MSM is a windowed Horner scan: process the 254-bit scalars in W-bit
-    windows MSB-first; per window bit, mask-select the points and
-    tree-reduce (halving levels for the bulk, then a constant-shape
-    butterfly so the jitted graph stays a handful of padd instantiations).
-    No data-dependent scatter, no sort — everything static-shape.
+    (Algorithm 7/9 for a=0): branchless, no doubling/infinity edge cases —
+    every lane executes the same instructions, which is exactly what the
+    VPU wants.  The same formula code runs for both groups through a small
+    field-ops shim (Fq2 multiply = Karatsuba over three FQ multiplies).
+  * MSM is a bit-serial Horner scan: per scalar bit MSB-first, mask-select
+    the points and tree-reduce (halving levels for the bulk, then a
+    constant-shape butterfly so the jitted graph stays a handful of padd
+    instantiations).  No data-dependent scatter, no sort — static shapes.
 
-Bit-exact vs the pure-Python Jacobian engine (field/curve.py, groth16/
-prover.py), pinned by tests/test_ops_curve.py.
+Bit-exact vs the pure-Python Jacobian engines (field/curve.py,
+groth16/prover.py), pinned by tests/test_ops_curve.py.
 """
 
 from __future__ import annotations
@@ -28,28 +29,77 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..field.bn254 import FQ
+from ..field.bn254 import FQ, FR
 from ..field.limbs import FQ_FIELD, N_LIMBS, ints_to_limbs
+from ..field.curve import TWIST_B
 
 F = FQ_FIELD
 
-# b3 = 3*b = 9 for BN254 (y^2 = x^3 + 3), Montgomery form.
-_B3 = jnp.asarray(ints_to_limbs([9 * F.mont_r % FQ])[0])
+
+class _G1Coords:
+    """FQ coordinate arithmetic on [..., 16] tensors."""
+
+    ndim = 1  # trailing dims per coordinate
+
+    def __init__(self):
+        self.b3 = jnp.asarray(ints_to_limbs([9 * F.mont_r % FQ])[0])
+        self.one = F.ONE_MONT
+
+    mul = staticmethod(lambda a, b: F.mont_mul(a, b))
+    add = staticmethod(lambda a, b: F.add(a, b))
+    sub = staticmethod(lambda a, b: F.sub(a, b))
+
+    def mul_b3(self, a):
+        return F.mont_mul(self.b3, a)
 
 
-def inf_point(shape=()):
-    """Identity (0:1:0) broadcast to leading shape."""
-    x = jnp.zeros(shape + (N_LIMBS,), dtype=jnp.uint32)
-    y = jnp.broadcast_to(F.ONE_MONT, shape + (N_LIMBS,))
-    z = jnp.zeros(shape + (N_LIMBS,), dtype=jnp.uint32)
-    return jnp.stack([x, y, z], axis=-2)
+class _G2Coords:
+    """Fq2 coordinate arithmetic on [..., 2, 16] tensors (c0 + c1*u)."""
+
+    ndim = 2
+
+    def __init__(self):
+        b3 = TWIST_B * 3
+        self.b3 = jnp.asarray(
+            np.stack([F.to_mont([b3.coeffs[0]])[0], F.to_mont([b3.coeffs[1]])[0]])
+        )
+        self.one = jnp.asarray(
+            np.stack([F.to_mont([1])[0], F.to_mont([0])[0]])
+        )
+
+    @staticmethod
+    def add(a, b):
+        return F.add(a, b)
+
+    @staticmethod
+    def sub(a, b):
+        return F.sub(a, b)
+
+    @staticmethod
+    def mul(a, b):
+        # Karatsuba over u^2 = -1: 3 FQ multiplies.
+        a0, a1 = a[..., 0, :], a[..., 1, :]
+        b0, b1 = b[..., 0, :], b[..., 1, :]
+        t0 = F.mont_mul(a0, b0)
+        t1 = F.mont_mul(a1, b1)
+        t2 = F.mont_mul(F.add(a0, a1), F.add(b0, b1))
+        real = F.sub(t0, t1)
+        imag = F.sub(t2, F.add(t0, t1))
+        return jnp.stack([real, imag], axis=-2)
+
+    def mul_b3(self, a):
+        return self.mul(jnp.broadcast_to(self.b3, a.shape), a)
 
 
-def padd(p, q):
-    """Complete projective addition (RCB15 alg. 7, a=0).  p,q: [...,3,16]."""
-    x1, y1, z1 = p[..., 0, :], p[..., 1, :], p[..., 2, :]
-    x2, y2, z2 = q[..., 0, :], q[..., 1, :], q[..., 2, :]
-    mul, add, sub = F.mont_mul, F.add, F.sub
+G1 = _G1Coords()
+G2 = _G2Coords()
+
+
+def _padd_generic(p, q, C):
+    """Complete projective addition (RCB15 alg. 7, a=0) on coord triples."""
+    x1, y1, z1 = p
+    x2, y2, z2 = q
+    mul, add, sub = C.mul, C.add, C.sub
 
     t0 = mul(x1, x2)
     t1 = mul(y1, y2)
@@ -61,27 +111,27 @@ def padd(p, q):
     x3 = mul(add(x1, z1), add(x2, z2))
     y3 = sub(x3, add(t0, t2))                     # X1Z2 + X2Z1
     t0 = add(add(t0, t0), t0)                     # 3*X1X2
-    t2 = mul(_B3, t2)                             # b3*Z1Z2
+    t2 = C.mul_b3(t2)                             # b3*Z1Z2
     z3 = add(t1, t2)
     t1 = sub(t1, t2)                              # Y1Y2 - b3Z1Z2
-    y3 = mul(_B3, y3)                             # b3*(X1Z2+X2Z1)
+    y3 = C.mul_b3(y3)                             # b3*(X1Z2+X2Z1)
     x3 = sub(mul(t3, t1), mul(t4, y3))
     y3 = add(mul(t1, z3), mul(y3, t0))
     z3 = add(mul(z3, t4), mul(t0, t3))
-    return jnp.stack([x3, y3, z3], axis=-2)
+    return x3, y3, z3
 
 
-def pdbl(p):
+def _pdbl_generic(p, C):
     """Complete projective doubling (RCB15 alg. 9, a=0)."""
-    x, y, z = p[..., 0, :], p[..., 1, :], p[..., 2, :]
-    mul, add, sub = F.mont_mul, F.add, F.sub
+    x, y, z = p
+    mul, add, sub = C.mul, C.add, C.sub
 
     t0 = mul(y, y)
     z3 = add(t0, t0)
     z3 = add(z3, z3)
     z3 = add(z3, z3)                              # 8Y^2
     t1 = mul(y, z)
-    t2 = mul(_B3, mul(z, z))                      # b3*Z^2
+    t2 = C.mul_b3(mul(z, z))                      # b3*Z^2
     x3 = mul(t2, z3)
     y3 = add(t0, t2)
     z3 = mul(t1, z3)
@@ -92,28 +142,52 @@ def pdbl(p):
     t1 = mul(x, y)
     x3 = mul(t0, t1)
     x3 = add(x3, x3)
-    return jnp.stack([x3, y3, z3], axis=-2)
+    return x3, y3, z3
 
 
-def select_point(mask, p, q):
+def _coords(pts, C):
+    """Stacked [..., 3, *coord] -> (x, y, z)."""
+    axis = -1 - C.ndim
+    return tuple(jnp.moveaxis(pts, axis, 0)[i] for i in range(3))
+
+
+def _stack(xyz, C):
+    axis = -1 - C.ndim
+    return jnp.stack(xyz, axis=axis)
+
+
+def padd(p, q, C=G1):
+    return _stack(_padd_generic(_coords(p, C), _coords(q, C), C), C)
+
+
+def pdbl(p, C=G1):
+    return _stack(_pdbl_generic(_coords(p, C), C), C)
+
+
+def inf_point(shape=(), C=G1):
+    """Identity (0:1:0) broadcast to leading shape."""
+    coord = (N_LIMBS,) if C.ndim == 1 else (2, N_LIMBS)
+    x = jnp.zeros(shape + coord, dtype=jnp.uint32)
+    y = jnp.broadcast_to(C.one, shape + coord)
+    z = jnp.zeros(shape + coord, dtype=jnp.uint32)
+    return _stack((x, y, z), C)
+
+
+def select_point(mask, p, q, C=G1):
     """mask bool[...]: p where mask else q."""
-    return jnp.where(mask[..., None, None], p, q)
+    m = mask.reshape(mask.shape + (1,) * (1 + C.ndim))
+    return jnp.where(m, p, q)
 
 
-def _tree_reduce(pts, unroll_levels: int = 4):
-    """Sum points along axis 0: [n, 3, 16] -> [3, 16].  n power of two.
-
-    First `unroll_levels` halving levels (covers the bulk of the work at
-    full lane width), then a constant-shape butterfly rolled into a
-    fori_loop so the graph holds O(1) padd instantiations.
-    """
+def _tree_reduce(pts, C, unroll_levels: int = 4):
+    """Sum points along axis 0: [n, 3, *coord] -> [3, *coord].  n = 2^k."""
     n = pts.shape[0]
     levels = int(np.log2(n))
     for _ in range(min(unroll_levels, levels)):
         m = pts.shape[0]
         if m == 1:
             return pts[0]
-        pts = padd(pts[: m // 2], pts[m // 2 :])
+        pts = padd(pts[: m // 2], pts[m // 2 :], C)
     m = pts.shape[0]
     if m == 1:
         return pts[0]
@@ -121,51 +195,67 @@ def _tree_reduce(pts, unroll_levels: int = 4):
 
     def body(k, x):
         shift = 1 << k
-        return padd(x, jnp.roll(x, -shift, axis=0))
+        return padd(x, jnp.roll(x, -shift, axis=0), C)
 
     pts = jax.lax.fori_loop(0, rem, body, pts)
     return pts[0]
 
 
-@partial(jax.jit, static_argnums=(2,))
-def _msm_impl(points, bits, n_bits: int):
-    """points: [n, 3, 16]; bits: [n_bits, n] uint32 (MSB first)."""
-    inf1 = inf_point(points.shape[:1])
+def _msm_kernel(points, bits, C):
+    inf1 = inf_point(points.shape[:1], C)
 
     def bit_step(acc, bit_row):
-        acc = pdbl(acc)
-        sel = select_point(bit_row == 1, points, inf1)
-        t = _tree_reduce(sel)
-        return padd(acc, t), None
+        acc = pdbl(acc, C)
+        sel = select_point(bit_row == 1, points, inf1, C)
+        t = _tree_reduce(sel, C)
+        return padd(acc, t, C), None
 
-    acc, _ = jax.lax.scan(bit_step, inf_point(), bits)
+    acc, _ = jax.lax.scan(bit_step, inf_point((), C), bits)
     return acc
 
 
+_msm_impl_g1 = jax.jit(lambda points, bits: _msm_kernel(points, bits, G1))
+_msm_impl_g2 = jax.jit(lambda points, bits: _msm_kernel(points, bits, G2))
+
+
+# -- host converters --------------------------------------------------------
+
 def points_to_device(points):
     """Host affine int pairs (or None for identity) -> [n,3,16] mont limbs."""
-    xs, ys, zs = [], [], []
-    for pt in points:
-        if pt is None:
-            xs.append(0)
-            ys.append(1)
-            zs.append(0)
-        else:
-            xs.append(pt[0] % FQ)
-            ys.append(pt[1] % FQ)
-            zs.append(1)
     n = len(points)
     out = np.zeros((n, 3, N_LIMBS), dtype=np.uint32)
+    xs = [0 if p is None else p[0] % FQ for p in points]
+    ys = [1 if p is None else p[1] % FQ for p in points]
+    zs = [0 if p is None else 1 for p in points]
     out[:, 0] = F.to_mont(xs)
     out[:, 1] = F.to_mont(ys)
     out[:, 2] = F.to_mont(zs)
     return jnp.asarray(out)
 
 
+def g2_points_to_device(points):
+    """Host affine Fq2 pairs ((x0,x1),(y0,y1)) or None -> [n,3,2,16]."""
+    n = len(points)
+    out = np.zeros((n, 3, 2, N_LIMBS), dtype=np.uint32)
+
+    def coeffs(p, idx, default):
+        if p is None:
+            return default
+        c = p[idx].coeffs if hasattr(p[idx], "coeffs") else p[idx]
+        return (c[0] % FQ, c[1] % FQ)
+
+    xs = [coeffs(p, 0, (0, 0)) for p in points]
+    ys = [coeffs(p, 1, (1, 0)) for p in points]
+    zs = [(0, 0) if p is None else (1, 0) for p in points]
+    for c in range(2):
+        out[:, 0, c] = F.to_mont([x[c] for x in xs])
+        out[:, 1, c] = F.to_mont([y[c] for y in ys])
+        out[:, 2, c] = F.to_mont([z[c] for z in zs])
+    return jnp.asarray(out)
+
+
 def scalars_to_bits(scalars, n_bits: int = 254):
     """Host ints -> [n_bits, n] uint32, MSB first."""
-    from ..field.bn254 import FR
-
     n = len(scalars)
     out = np.zeros((n_bits, n), dtype=np.uint32)
     for i, s in enumerate(scalars):
@@ -175,18 +265,27 @@ def scalars_to_bits(scalars, n_bits: int = 254):
     return jnp.asarray(out)
 
 
-def point_from_device(acc) -> tuple | None:
+def point_from_device(acc):
     """[3,16] mont limbs projective -> host affine int pair (or None)."""
     arr = np.asarray(acc)
-    x, y, z = (
-        F.from_mont_host(arr[0][None])[0],
-        F.from_mont_host(arr[1][None])[0],
-        F.from_mont_host(arr[2][None])[0],
-    )
+    x, y, z = (F.from_mont_host(arr[i][None])[0] for i in range(3))
     if z == 0:
         return None
     zinv = pow(z, -1, FQ)
     return (x * zinv % FQ, y * zinv % FQ)
+
+
+def g2_point_from_device(acc):
+    """[3,2,16] mont limbs -> host affine (FQ2, FQ2) pair (or None)."""
+    from ..field.tower import FQ2
+
+    arr = np.asarray(acc)
+    c = [[F.from_mont_host(arr[i, j][None])[0] for j in range(2)] for i in range(3)]
+    x, y, z = (FQ2(cc) for cc in c)
+    if z.is_zero():
+        return None
+    zi = z.inv()
+    return (x * zi, y * zi)
 
 
 def _pad_pow2(points, scalars):
@@ -198,7 +297,7 @@ def _pad_pow2(points, scalars):
 
 
 def msm_g1_device(points, scalars, n_bits: int = 254):
-    """Host-facing MSM: affine int points + int scalars -> affine int point.
+    """Host-facing G1 MSM: affine int points + scalars -> affine int point.
 
     Drop-in replacement for groth16.prover.pippenger_g1 (same contract:
     None entries and zero scalars contribute the identity).
@@ -206,7 +305,14 @@ def msm_g1_device(points, scalars, n_bits: int = 254):
     if not points:
         return None
     points, scalars = _pad_pow2(points, scalars)
-    dev_pts = points_to_device(points)
-    bits = scalars_to_bits(scalars, n_bits)
-    acc = _msm_impl(dev_pts, bits, n_bits)
+    acc = _msm_impl_g1(points_to_device(points), scalars_to_bits(scalars, n_bits))
     return point_from_device(acc)
+
+
+def msm_g2_device(points, scalars, n_bits: int = 254):
+    """Host-facing G2 MSM; contract of groth16.prover.msm_g2."""
+    if not points:
+        return None
+    points, scalars = _pad_pow2(points, scalars)
+    acc = _msm_impl_g2(g2_points_to_device(points), scalars_to_bits(scalars, n_bits))
+    return g2_point_from_device(acc)
