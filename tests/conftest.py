@@ -22,6 +22,14 @@ if not os.environ.get("ZKFL_TEST_TPU"):
 
     jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the limb kernels are compile-heavy and
+# shape-stable, so caching across test processes cuts suite time a lot.
+import jax as _jax
+
+_jax.config.update("jax_compilation_cache_dir", "/tmp/zkfl_jax_cache")
+_jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+_jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import pytest  # noqa: E402
 
 

@@ -45,6 +45,20 @@ _SKEW_IDX = jnp.asarray(
 )
 
 
+def _kogge_stone(g, p, n: int):
+    """Parallel-prefix carry resolution: generate/propagate uint32[..., n]
+    (both 0/1) -> inclusive carry-out per position.  Hand-rolled doubling
+    steps (shift + mask) — far fewer ops than lax.associative_scan."""
+    d = 1
+    while d < n:
+        gs = jnp.concatenate([jnp.zeros_like(g[..., :d]), g[..., :-d]], axis=-1)
+        ps = jnp.concatenate([jnp.zeros_like(p[..., :d]), p[..., :-d]], axis=-1)
+        g = g | (p & gs)
+        p = p & ps
+        d <<= 1
+    return g
+
+
 def int_to_limbs(x: int) -> np.ndarray:
     """Host: python int -> uint32[16] little-endian 16-bit limbs."""
     return np.array([(x >> (LIMB_BITS * i)) & LIMB_MASK for i in range(N_LIMBS)], dtype=np.uint32)
@@ -122,13 +136,7 @@ class LimbField:
         s = lo + hi_up  # < 2^17
         g = s >> LIMB_BITS  # carry generated here (0/1)
         p = ((s & LIMB_MASK) == LIMB_MASK).astype(jnp.uint32)  # propagates
-
-        def compose(l, r):
-            gl, pl = l
-            gr, pr = r
-            return gr | (pr & gl), pl & pr
-
-        G, _ = jax.lax.associative_scan(compose, (g, p), axis=-1)
+        G = _kogge_stone(g, p, n_out)
         carry_in = jnp.concatenate([jnp.zeros_like(G[..., :1]), G[..., :-1]], axis=-1)
         return (s + carry_in) & LIMB_MASK
 
@@ -181,13 +189,7 @@ class LimbField:
         """(a - b) assuming a >= b; Kogge-Stone borrow propagation."""
         g = (a < b).astype(jnp.uint32)  # borrow generated here
         p = (a == b).astype(jnp.uint32)  # borrow propagates through
-
-        def compose(l, r):
-            gl, pl = l
-            gr, pr = r
-            return gr | (pr & gl), pl & pr
-
-        G, _ = jax.lax.associative_scan(compose, (g, p), axis=-1)
+        G = _kogge_stone(g, p, N_LIMBS)
         borrow_in = jnp.concatenate([jnp.zeros_like(G[..., :1]), G[..., :-1]], axis=-1)
         return (a + (1 << LIMB_BITS) - b - borrow_in) & LIMB_MASK
 

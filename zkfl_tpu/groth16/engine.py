@@ -1,0 +1,88 @@
+"""Prover compute engines: host (pure-Python oracle) vs JAX/TPU.
+
+The Groth16 proof assembly (prover.groth16_prove) is engine-agnostic; an
+Engine supplies the four heavy primitives that dominate proving time
+(SURVEY §3.3: MSM + NTT are ~95% of the reference's round latency):
+
+  * msm_g1 / msm_g2 — multi-scalar multiplications over the proving key
+  * matrix_evals    — sparse R1CS row evaluation (A.s, B.s, C.s)
+  * compute_h       — QAP quotient coefficients via (i)NTT on a coset
+
+HostEngine is the bit-exact reference; JaxEngine routes everything through
+the batched limb kernels in zkfl_tpu.ops (TPU-resident, one jit per shape)
+and caches the device-side sparse matrices per circuit structure.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+from ..ops.curve import msm_g1_device, msm_g2_device
+from ..ops.ntt import SparseMatrices, compute_h_coeffs_device, matrix_evals_device
+from . import qap
+
+
+class HostEngine:
+    """Pure-Python primitives (oracle + micro-circuit fallback)."""
+
+    name = "host"
+
+    @staticmethod
+    def msm_g1(points, scalars):
+        from .prover import pippenger_g1
+
+        return pippenger_g1(points, scalars)
+
+    @staticmethod
+    def msm_g2(points, scalars):
+        from .prover import msm_g2 as _msm_g2
+
+        return _msm_g2(points, scalars)
+
+    @staticmethod
+    def matrix_evals(constraints, witness, domain):
+        return qap.matrix_evals(constraints, witness, domain)
+
+    @staticmethod
+    def compute_h(a_evals, b_evals, c_evals):
+        return qap.compute_h_coeffs(a_evals, b_evals, c_evals)
+
+
+class JaxEngine:
+    """TPU-path primitives over batched limb tensors."""
+
+    name = "jax"
+
+    def __init__(self):
+        self._sparse_cache: Dict[int, SparseMatrices] = {}
+
+    @staticmethod
+    def msm_g1(points, scalars):
+        return msm_g1_device(points, scalars)
+
+    @staticmethod
+    def msm_g2(points, scalars):
+        return msm_g2_device(points, scalars)
+
+    def matrix_evals(self, constraints, witness, domain):
+        key = id(constraints)
+        sm = self._sparse_cache.get(key)
+        if sm is None or sm.domain != domain:
+            sm = SparseMatrices(constraints, domain)
+            self._sparse_cache[key] = sm
+        return matrix_evals_device(sm, witness)
+
+    @staticmethod
+    def compute_h(a_evals, b_evals, c_evals):
+        return compute_h_coeffs_device(a_evals, b_evals, c_evals)
+
+
+_default_engine = None
+
+
+def default_engine():
+    """Process-wide default: JAX engine (host engine only on request)."""
+    global _default_engine
+    if _default_engine is None:
+        _default_engine = JaxEngine()
+    return _default_engine

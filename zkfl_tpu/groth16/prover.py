@@ -31,7 +31,6 @@ from ..field.curve import (
     g2_to_jacobian,
 )
 from ..r1cs.builder import ConstraintSystem
-from .qap import compute_h_coeffs, matrix_evals
 from .setup import ProvingKey
 
 
@@ -139,14 +138,22 @@ def groth16_prove(
     structure: ConstraintSystem,
     witness: Optional[Sequence[int]] = None,
     msm_g1=None,
+    engine=None,
 ) -> Proof:
     """Prove `witness` against the circuit `structure` (a CS built in
     structure mode, carrying the constraint matrices).  When `witness` is
     None the structure's own values are used.  A witness produced by the
     fast value-only pass (circuits.generate_witness) must be passed
-    explicitly — its CS records no constraints.  `msm_g1` is pluggable so
-    the JAX/TPU engine can drive the same proof assembly."""
-    msm_g1 = msm_g1 or pippenger_g1
+    explicitly — its CS records no constraints.  `engine` selects the
+    compute backend (groth16.engine.HostEngine / JaxEngine); the proof
+    assembly is identical either way.  `msm_g1` remains as a raw override
+    for tests."""
+    if engine is None:
+        from .engine import HostEngine
+
+        engine = HostEngine()
+    msm_g1 = msm_g1 or engine.msm_g1
+    _msm_g2 = engine.msm_g2
     if not structure.constraints:
         raise ValueError(
             "groth16_prove needs the structure-mode ConstraintSystem "
@@ -158,8 +165,8 @@ def groth16_prove(
     if len(witness) != n_wires:
         raise ValueError(f"witness length {len(witness)} != wires {n_wires}")
 
-    a_e, b_e, c_e = matrix_evals(structure.constraints, witness, pk.domain)
-    h = compute_h_coeffs(a_e, b_e, c_e)
+    a_e, b_e, c_e = engine.matrix_evals(structure.constraints, witness, pk.domain)
+    h = engine.compute_h(a_e, b_e, c_e)
 
     r = _derive_blinding(witness, "r")
     s = _derive_blinding(witness, "s")
@@ -174,7 +181,7 @@ def groth16_prove(
 
     # pi_B (G2) and its G1 mirror
     pi_b_j = g2_to_jacobian(pk.beta2)
-    msm_b2 = msm_g2(pk.b2_query, witness)
+    msm_b2 = _msm_g2(pk.b2_query, witness)
     if msm_b2 is not None:
         pi_b_j = g2_add_jac(pi_b_j, g2_to_jacobian(msm_b2))
     if s:

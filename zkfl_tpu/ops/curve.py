@@ -49,9 +49,6 @@ class _G1Coords:
     add = staticmethod(lambda a, b: F.add(a, b))
     sub = staticmethod(lambda a, b: F.sub(a, b))
 
-    def mul_b3(self, a):
-        return F.mont_mul(self.b3, a)
-
 
 class _G2Coords:
     """Fq2 coordinate arithmetic on [..., 2, 16] tensors (c0 + c1*u)."""
@@ -77,18 +74,17 @@ class _G2Coords:
 
     @staticmethod
     def mul(a, b):
-        # Karatsuba over u^2 = -1: 3 FQ multiplies.
+        # Karatsuba over u^2 = -1: 3 FQ multiplies, batched into ONE
+        # Montgomery multiply call (lane axis 0).
         a0, a1 = a[..., 0, :], a[..., 1, :]
         b0, b1 = b[..., 0, :], b[..., 1, :]
-        t0 = F.mont_mul(a0, b0)
-        t1 = F.mont_mul(a1, b1)
-        t2 = F.mont_mul(F.add(a0, a1), F.add(b0, b1))
-        real = F.sub(t0, t1)
-        imag = F.sub(t2, F.add(t0, t1))
-        return jnp.stack([real, imag], axis=-2)
-
-    def mul_b3(self, a):
-        return self.mul(jnp.broadcast_to(self.b3, a.shape), a)
+        sums = F.add(jnp.stack([a0, b0]), jnp.stack([a1, b1]))
+        prods = F.mont_mul(
+            jnp.stack([a0, a1, sums[0]]), jnp.stack([b0, b1, sums[1]])
+        )
+        t0, t1, t2 = prods[0], prods[1], prods[2]
+        diffs = F.sub(jnp.stack([t0, t2]), jnp.stack([t1, F.add(t0, t1)]))
+        return jnp.stack([diffs[0], diffs[1]], axis=-2)
 
 
 G1 = _G1Coords()
@@ -96,53 +92,62 @@ G2 = _G2Coords()
 
 
 def _padd_generic(p, q, C):
-    """Complete projective addition (RCB15 alg. 7, a=0) on coord triples."""
+    """Complete projective addition (RCB15 alg. 7, a=0) on coord triples.
+
+    Stage-batched: the formula's 12 multiplies group into three dependency
+    stages; each stage stacks its independent multiplies into ONE batched
+    Montgomery multiply (lane axis 0).  Same field ops, ~4x smaller jitted
+    graph and far fewer kernel dispatches than the naive transliteration.
+    """
     x1, y1, z1 = p
     x2, y2, z2 = q
     mul, add, sub = C.mul, C.add, C.sub
+    st = lambda *xs: jnp.stack(xs, axis=0)
 
-    t0 = mul(x1, x2)
-    t1 = mul(y1, y2)
-    t2 = mul(z1, z2)
-    t3 = mul(add(x1, y1), add(x2, y2))
-    t3 = sub(t3, add(t0, t1))                     # X1Y2 + X2Y1
-    t4 = mul(add(y1, z1), add(y2, z2))
-    t4 = sub(t4, add(t1, t2))                     # Y1Z2 + Y2Z1
-    x3 = mul(add(x1, z1), add(x2, z2))
-    y3 = sub(x3, add(t0, t2))                     # X1Z2 + X2Z1
-    t0 = add(add(t0, t0), t0)                     # 3*X1X2
-    t2 = C.mul_b3(t2)                             # b3*Z1Z2
-    z3 = add(t1, t2)
-    t1 = sub(t1, t2)                              # Y1Y2 - b3Z1Z2
-    y3 = C.mul_b3(y3)                             # b3*(X1Z2+X2Z1)
-    x3 = sub(mul(t3, t1), mul(t4, y3))
-    y3 = add(mul(t1, z3), mul(y3, t0))
-    z3 = add(mul(z3, t4), mul(t0, t3))
-    return x3, y3, z3
+    l1 = add(st(x1, y1, x1), st(y1, z1, z1))      # x1+y1, y1+z1, x1+z1
+    l2 = add(st(x2, y2, x2), st(y2, z2, z2))
+    m1 = mul(st(x1, y1, z1, l1[0], l1[1], l1[2]),
+             st(x2, y2, z2, l2[0], l2[1], l2[2]))
+    t0, t1, t2, p3, p4, p5 = (m1[i] for i in range(6))
+    a2 = add(st(t0, t1, t0, t0), st(t1, t2, t2, t0))
+    s1 = sub(st(p3, p4, p5), st(a2[0], a2[1], a2[2]))
+    t3, t4, y3 = s1[0], s1[1], s1[2]              # X1Y2+X2Y1, Y1Z2+Y2Z1, X1Z2+X2Z1
+    t00 = add(a2[3], t0)                          # 3*X1X2
+    bb = jnp.broadcast_to(C.b3, t2.shape)
+    m2 = mul(st(bb, bb), st(t2, y3))
+    t2b, y3b = m2[0], m2[1]                       # b3*Z1Z2, b3*(X1Z2+X2Z1)
+    z3a = add(t1, t2b)                            # Y1Y2 + b3Z1Z2
+    t1b = sub(t1, t2b)                            # Y1Y2 - b3Z1Z2
+    m3 = mul(st(t3, t4, t1b, y3b, z3a, t00),
+             st(t1b, y3b, z3a, t00, t4, t3))
+    x3 = sub(m3[0], m3[1])
+    y3f = add(m3[2], m3[3])
+    z3f = add(m3[4], m3[5])
+    return x3, y3f, z3f
 
 
 def _pdbl_generic(p, C):
-    """Complete projective doubling (RCB15 alg. 9, a=0)."""
+    """Complete projective doubling (RCB15 alg. 9, a=0), stage-batched."""
     x, y, z = p
     mul, add, sub = C.mul, C.add, C.sub
+    st = lambda *xs: jnp.stack(xs, axis=0)
 
-    t0 = mul(y, y)
+    m1 = mul(st(y, y, z, x), st(y, z, z, y))
+    t0, t1, zz, xy = m1[0], m1[1], m1[2], m1[3]
     z3 = add(t0, t0)
     z3 = add(z3, z3)
     z3 = add(z3, z3)                              # 8Y^2
-    t1 = mul(y, z)
-    t2 = C.mul_b3(mul(z, z))                      # b3*Z^2
-    x3 = mul(t2, z3)
+    bb = jnp.broadcast_to(C.b3, zz.shape)
+    t2 = mul(bb, zz)                              # b3*Z^2
     y3 = add(t0, t2)
-    z3 = mul(t1, z3)
-    t1 = add(t2, t2)
-    t2 = add(t1, t2)                              # 3*b3*Z^2
-    t0 = sub(t0, t2)
-    y3 = add(x3, mul(t0, y3))
-    t1 = mul(x, y)
-    x3 = mul(t0, t1)
-    x3 = add(x3, x3)
-    return x3, y3, z3
+    t1s = add(t2, t2)
+    t2s = add(t1s, t2)                            # 3*b3*Z^2
+    t0s = sub(t0, t2s)
+    m2 = mul(st(t2, t1, t0s, t0s), st(z3, z3, y3, xy))
+    x3a, z3f, y3a, x3h = m2[0], m2[1], m2[2], m2[3]
+    y3f = add(x3a, y3a)
+    x3f = add(x3h, x3h)
+    return x3f, y3f, z3f
 
 
 def _coords(pts, C):
