@@ -1,0 +1,53 @@
+"""Multi-chip sharding on the virtual 8-device CPU mesh."""
+
+import random
+
+import jax
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from zkfl_tpu.field.bn254 import FR
+from zkfl_tpu.field.curve import g1_generator, g1_mul
+from zkfl_tpu.groth16.prover import pippenger_g1
+from zkfl_tpu.parallel.msm import msm_g1_sharded
+
+rng = random.Random(13)
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return Mesh(np.asarray(devs[:8]).reshape(8), ("points",))
+
+
+def test_sharded_msm_matches_host(mesh8):
+    g = g1_generator()
+    pts = [g1_mul(g, rng.randrange(1, 10**9)) for _ in range(16)]
+    scs = [rng.randrange(FR) for _ in range(16)]
+    assert msm_g1_sharded(pts, scs, mesh8) == pippenger_g1(pts, scs)
+
+
+def test_sharded_msm_pads_to_mesh(mesh8):
+    # 5 points over 8 devices: padding must not change the result.
+    g = g1_generator()
+    pts = [g1_mul(g, rng.randrange(1, 10**9)) for _ in range(5)]
+    scs = [rng.randrange(FR) for _ in range(5)]
+    assert msm_g1_sharded(pts, scs, mesh8) == pippenger_g1(pts, scs)
+
+
+def test_graft_entry_single_chip():
+    import __graft_entry__ as graft
+
+    fn, args = graft.entry()
+    out = fn(*args)
+    assert np.asarray(out).shape == (16,)
+
+
+@pytest.mark.slow
+def test_graft_dryrun_multichip():
+    import __graft_entry__ as graft
+
+    graft.dryrun_multichip(8)
