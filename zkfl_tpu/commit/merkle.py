@@ -25,11 +25,16 @@ class MerkleTree:
             raise ValueError(f"{len(leaf_hashes)} leaves exceed 2^{depth}")
         zero = poseidon([0])
         leaves = list(leaf_hashes) + [zero] * (padded - len(leaf_hashes))
-        levels: List[List[int]] = [leaves]
-        cur = leaves
-        while len(cur) > 1:
-            cur = [poseidon([cur[i], cur[i + 1]]) for i in range(0, len(cur), 2)]
-            levels.append(cur)
+        from .. import native
+
+        if native.available() and padded > 1:
+            levels = native.merkle_levels(leaves)
+        else:
+            levels: List[List[int]] = [leaves]
+            cur = leaves
+            while len(cur) > 1:
+                cur = [poseidon([cur[i], cur[i + 1]]) for i in range(0, len(cur), 2)]
+                levels.append(cur)
         self.depth = depth
         self.levels = levels
 
