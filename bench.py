@@ -19,7 +19,18 @@ import time
 BASELINE_PROVE_S = 4.2  # Report.pdf Table 3, balance circuit
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: first-ever run pays the (remote)
+    compiles; every later bench run starts hot."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/zkfl_jax")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
 def main() -> int:
+    _enable_compile_cache()
     t_total = time.time()
     from zkfl_tpu.fl.client import Client, SharedLCG
     from zkfl_tpu.fl.config import REFERENCE_CONFIG

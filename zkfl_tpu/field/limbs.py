@@ -65,24 +65,21 @@ def int_to_limbs(x: int) -> np.ndarray:
 
 
 def ints_to_limbs(xs) -> np.ndarray:
-    """Host: iterable of ints -> uint32[n, 16]."""
-    out = np.empty((len(xs), N_LIMBS), dtype=np.uint32)
-    for i, x in enumerate(xs):
-        for j in range(N_LIMBS):
-            out[i, j] = (x >> (LIMB_BITS * j)) & LIMB_MASK
-    return out
+    """Host: iterable of ints -> uint32[n, 16] (via 32-byte LE packing)."""
+    if not isinstance(xs, (list, tuple)):
+        xs = list(xs)
+    buf = b"".join(x.to_bytes(32, "little") for x in xs)
+    u16 = np.frombuffer(buf, dtype=np.uint16).reshape(len(xs), N_LIMBS)
+    return u16.astype(np.uint32)
 
 
 def limbs_to_ints(a) -> list:
     """Host: uint32[..., 16] -> list of python ints (flattened)."""
-    arr = np.asarray(a, dtype=np.uint64).reshape(-1, N_LIMBS)
-    out = []
-    for row in arr:
-        v = 0
-        for i in range(N_LIMBS - 1, -1, -1):
-            v = (v << LIMB_BITS) | int(row[i])
-        out.append(v)
-    return out
+    arr = np.asarray(a).reshape(-1, N_LIMBS).astype(np.uint16)
+    data = arr.tobytes()
+    return [
+        int.from_bytes(data[i : i + 32], "little") for i in range(0, len(data), 32)
+    ]
 
 
 class LimbField:

@@ -260,13 +260,11 @@ def g2_points_to_device(points):
 
 
 def scalars_to_bits(scalars, n_bits: int = 254):
-    """Host ints -> [n_bits, n] uint32, MSB first."""
-    n = len(scalars)
-    out = np.zeros((n_bits, n), dtype=np.uint32)
-    for i, s in enumerate(scalars):
-        s %= FR
-        for b in range(n_bits):
-            out[n_bits - 1 - b, i] = (s >> b) & 1
+    """Host ints -> [n_bits, n] uint32, MSB first (vectorised unpack)."""
+    buf = b"".join((s % FR).to_bytes(32, "little") for s in scalars)
+    bytes_arr = np.frombuffer(buf, dtype=np.uint8).reshape(len(scalars), 32)
+    bits = np.unpackbits(bytes_arr, axis=1, bitorder="little")  # [n, 256] LSB first
+    out = bits[:, :n_bits][:, ::-1].T.astype(np.uint32)  # [n_bits, n] MSB first
     return jnp.asarray(out)
 
 
