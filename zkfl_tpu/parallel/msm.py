@@ -58,14 +58,14 @@ def _sharded_msm_local(points, bits, axis_name: str):
 
 def make_sharded_msm(mesh: Mesh, axis_name: str = "points"):
     """Build a pjit-ed MSM over `mesh` with points sharded on `axis_name`."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     fn = shard_map(
         partial(_sharded_msm_local, axis_name=axis_name),
         mesh=mesh,
         in_specs=(P(axis_name), P(None, axis_name)),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(fn)
 

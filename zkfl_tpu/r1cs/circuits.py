@@ -15,10 +15,18 @@ from typing import Union
 
 from .balance import BalanceParams, build_balance
 from .builder import ConstraintSystem
-from .secagg import SecaggParams, build_secagg
+from .secagg import (
+    SecaggLegacyParams,
+    SecaggParams,
+    build_secagg,
+    build_secagg_legacy,
+)
+from .tiny import TinyParams, build_tiny_training
 from .training import TrainingParams, build_training
 
-CircuitParams = Union[BalanceParams, TrainingParams, SecaggParams]
+CircuitParams = Union[
+    BalanceParams, TrainingParams, SecaggParams, SecaggLegacyParams, TinyParams
+]
 
 
 def dummy_inputs(params: CircuitParams) -> dict:
@@ -58,6 +66,23 @@ def dummy_inputs(params: CircuitParams) -> dict:
             "peer_ids": list(range(2, 2 + P)),
             "gradient": [0] * M, "master_key": 0, "shared_keys": [0] * P,
         }
+    if isinstance(params, SecaggLegacyParams):
+        M = params.dim
+        return {
+            "client_id": 1, "shared_key_hash": 0, "root_G": 0, "tauSquared": 0,
+            "masked_update": [0] * M,
+            "gradient": [0] * M, "mask": [0] * M, "prf_seed": 0,
+        }
+    if isinstance(params, TinyParams):
+        B, M, D = params.batch_size, params.model_dim, params.depth
+        return {
+            "client_id": 1, "root_D": 0, "root_G": 0, "alpha": 0, "tau": 0,
+            "weights_old": [0] * M,
+            "features": [[0] * M for _ in range(B)],
+            "labels": [0] * B,
+            "siblings": [[0] * D for _ in range(B)],
+            "pathIndices": [[0] * D for _ in range(B)],
+        }
     raise TypeError(f"unknown circuit params {params!r}")
 
 
@@ -68,6 +93,10 @@ def build_circuit(params: CircuitParams, inputs: dict, witness_only: bool = Fals
         return build_training(params, inputs, witness_only)
     if isinstance(params, SecaggParams):
         return build_secagg(params, inputs, witness_only)
+    if isinstance(params, SecaggLegacyParams):
+        return build_secagg_legacy(params, inputs, witness_only)
+    if isinstance(params, TinyParams):
+        return build_tiny_training(params, inputs, witness_only)
     raise TypeError(f"unknown circuit params {params!r}")
 
 
