@@ -7,6 +7,11 @@ path).  Set before any jax import.
 
 import os
 
+# Reproducible proofs: production default is RANDOM r/s blinding (snarkjs
+# semantics, unlinkable re-proofs); tests pin the deterministic hook so
+# host/JAX engine proofs can be compared bit for bit.
+os.environ.setdefault("ZKFL_DETERMINISTIC_BLINDING", "1")
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

@@ -49,7 +49,12 @@ class HostEngine:
 
 
 class JaxEngine:
-    """TPU-path primitives over batched limb tensors."""
+    """TPU-path primitives over batched limb tensors.
+
+    The production path is `fused_msms`: one jitted program per circuit
+    with the proving key resident on device (groth16/device_prover.py) —
+    witness in, five MSM results out.  The per-primitive methods remain as
+    standalone entry points (Pallas Pippenger MSM, ops/msm_pallas.py)."""
 
     name = "jax"
 
@@ -57,12 +62,22 @@ class JaxEngine:
         self._sparse_cache: Dict[int, SparseMatrices] = {}
 
     @staticmethod
+    def fused_msms(pk, structure, witness):
+        from .device_prover import device_prover
+
+        return device_prover(pk, structure).msm_results(witness)
+
+    @staticmethod
     def msm_g1(points, scalars):
-        return msm_g1_device(points, scalars)
+        from ..ops.msm_pallas import msm_g1_host
+
+        return msm_g1_host(points, scalars)
 
     @staticmethod
     def msm_g2(points, scalars):
-        return msm_g2_device(points, scalars)
+        from ..ops.msm_pallas import msm_g2_host
+
+        return msm_g2_host(points, scalars)
 
     def matrix_evals(self, constraints, witness, domain):
         key = id(constraints)

@@ -15,6 +15,8 @@ Proof: pi_A = alpha + sum s_i A_i(tau) + r delta
 from __future__ import annotations
 
 import hashlib
+import os
+import secrets
 from dataclasses import dataclass
 from typing import List, Optional, Sequence, Tuple
 
@@ -133,27 +135,81 @@ def _derive_blinding(witness: Sequence[int], tag: str) -> int:
     return int.from_bytes(h.digest() + hashlib.sha256(h.digest()).digest(), "big") % FR
 
 
+def default_blinding(witness: Sequence[int]) -> Tuple[int, int]:
+    """(r, s) blinding nonces.  RANDOM by default — snarkjs semantics: two
+    proofs of the same witness are unlinkable.  Set
+    ZKFL_DETERMINISTIC_BLINDING=1 (the test suites do) for reproducible
+    proofs via the RFC6979-style witness hash."""
+    if os.environ.get("ZKFL_DETERMINISTIC_BLINDING"):
+        return _derive_blinding(witness, "r"), _derive_blinding(witness, "s")
+    return secrets.randbelow(FR), secrets.randbelow(FR)
+
+
+def _assemble_proof(pk: ProvingKey, witness: Sequence[int], msms: dict,
+                    r: int, s: int) -> Proof:
+    """Shared proof assembly from the five MSM results (host affine points,
+    None = identity): msms keys a, b1, c, h (G1) and b2 (G2)."""
+    n_pub = pk.n_pub
+
+    pi_a_j = g1_to_jacobian(pk.alpha1)
+    if msms["a"] is not None:
+        pi_a_j = g1_add_jac(pi_a_j, g1_to_jacobian(msms["a"]))
+    pi_a_j = g1_add_jac(pi_a_j, mul_g1(pk.delta1, r))
+    pi_a = g1_from_jacobian(pi_a_j)
+
+    pi_b_j = g2_to_jacobian(pk.beta2)
+    if msms["b2"] is not None:
+        pi_b_j = g2_add_jac(pi_b_j, g2_to_jacobian(msms["b2"]))
+    if s:
+        pi_b_j = g2_add_jac(pi_b_j, g2_to_jacobian(mul_g2(pk.delta2, s)))
+    pi_b = g2_from_jacobian(pi_b_j)
+
+    pi_b1_j = g1_to_jacobian(pk.beta1)
+    if msms["b1"] is not None:
+        pi_b1_j = g1_add_jac(pi_b1_j, g1_to_jacobian(msms["b1"]))
+    pi_b1_j = g1_add_jac(pi_b1_j, mul_g1(pk.delta1, s))
+    pi_b1 = g1_from_jacobian(pi_b1_j)
+
+    pi_c_j = (1, 1, 0)
+    if msms["c"] is not None:
+        pi_c_j = g1_add_jac(pi_c_j, g1_to_jacobian(msms["c"]))
+    if msms["h"] is not None:
+        pi_c_j = g1_add_jac(pi_c_j, g1_to_jacobian(msms["h"]))
+    pi_c_j = g1_add_jac(pi_c_j, mul_g1(pi_a, s))
+    pi_c_j = g1_add_jac(pi_c_j, mul_g1(pi_b1, r))
+    pi_c_j = g1_add_jac(pi_c_j, mul_g1(pk.delta1, (-r * s) % FR))
+    pi_c = g1_from_jacobian(pi_c_j)
+
+    return Proof(
+        pi_a=pi_a, pi_b=pi_b, pi_c=pi_c,
+        public_signals=[x % FR for x in witness[1 : n_pub + 1]],
+    )
+
+
 def groth16_prove(
     pk: ProvingKey,
     structure: ConstraintSystem,
     witness: Optional[Sequence[int]] = None,
     msm_g1=None,
     engine=None,
+    blinding: Optional[Tuple[int, int]] = None,
 ) -> Proof:
     """Prove `witness` against the circuit `structure` (a CS built in
     structure mode, carrying the constraint matrices).  When `witness` is
     None the structure's own values are used.  A witness produced by the
     fast value-only pass (circuits.generate_witness) must be passed
-    explicitly — its CS records no constraints.  `engine` selects the
-    compute backend (groth16.engine.HostEngine / JaxEngine); the proof
-    assembly is identical either way.  `msm_g1` remains as a raw override
-    for tests."""
+    explicitly — its CS records no constraints.
+
+    `engine` selects the compute backend: an engine exposing `fused_msms`
+    (JaxEngine) runs the entire witness -> h(X) -> 5-MSM pipeline on device
+    with the proving key resident (groth16/device_prover.py); otherwise the
+    stage-by-stage path runs with the engine's msm/NTT primitives.  The
+    proof assembly is identical either way.  `msm_g1` remains as a raw
+    override for tests; `blinding` overrides the (r, s) nonces."""
     if engine is None:
         from .engine import HostEngine
 
         engine = HostEngine()
-    msm_g1 = msm_g1 or engine.msm_g1
-    _msm_g2 = engine.msm_g2
     if not structure.constraints:
         raise ValueError(
             "groth16_prove needs the structure-mode ConstraintSystem "
@@ -165,54 +221,22 @@ def groth16_prove(
     if len(witness) != n_wires:
         raise ValueError(f"witness length {len(witness)} != wires {n_wires}")
 
-    a_e, b_e, c_e = engine.matrix_evals(structure.constraints, witness, pk.domain)
-    h = engine.compute_h(a_e, b_e, c_e)
+    r, s = blinding if blinding is not None else default_blinding(witness)
 
-    r = _derive_blinding(witness, "r")
-    s = _derive_blinding(witness, "s")
-
-    # pi_A
-    pi_a_j = g1_to_jacobian(pk.alpha1)
-    msm_a = msm_g1(pk.a_query, witness)
-    if msm_a is not None:
-        pi_a_j = g1_add_jac(pi_a_j, g1_to_jacobian(msm_a))
-    pi_a_j = g1_add_jac(pi_a_j, mul_g1(pk.delta1, r))
-    pi_a = g1_from_jacobian(pi_a_j)
-
-    # pi_B (G2) and its G1 mirror
-    pi_b_j = g2_to_jacobian(pk.beta2)
-    msm_b2 = _msm_g2(pk.b2_query, witness)
-    if msm_b2 is not None:
-        pi_b_j = g2_add_jac(pi_b_j, g2_to_jacobian(msm_b2))
-    if s:
-        pi_b_j = g2_add_jac(pi_b_j, g2_to_jacobian(mul_g2(pk.delta2, s)))
-    pi_b = g2_from_jacobian(pi_b_j)
-
-    pi_b1_j = g1_to_jacobian(pk.beta1)
-    msm_b1 = msm_g1(pk.b1_query, witness)
-    if msm_b1 is not None:
-        pi_b1_j = g1_add_jac(pi_b1_j, g1_to_jacobian(msm_b1))
-    pi_b1_j = g1_add_jac(pi_b1_j, mul_g1(pk.delta1, s))
-    pi_b1 = g1_from_jacobian(pi_b1_j)
-
-    # pi_C
-    pi_c_j = (1, 1, 0)
-    priv = witness[n_pub + 1 :]
-    msm_c = msm_g1(pk.c_query, priv)
-    if msm_c is not None:
-        pi_c_j = g1_add_jac(pi_c_j, g1_to_jacobian(msm_c))
-    msm_h = msm_g1(pk.h_query, h[: len(pk.h_query)])
-    if msm_h is not None:
-        pi_c_j = g1_add_jac(pi_c_j, g1_to_jacobian(msm_h))
-    pi_c_j = g1_add_jac(pi_c_j, mul_g1(pi_a, s))
-    pi_c_j = g1_add_jac(pi_c_j, mul_g1(pi_b1, r))
-    pi_c_j = g1_add_jac(pi_c_j, mul_g1(pk.delta1, (-r * s) % FR))
-    pi_c = g1_from_jacobian(pi_c_j)
-
-    return Proof(
-        pi_a=pi_a, pi_b=pi_b, pi_c=pi_c,
-        public_signals=[x % FR for x in witness[1 : n_pub + 1]],
-    )
+    if msm_g1 is None and hasattr(engine, "fused_msms"):
+        msms = engine.fused_msms(pk, structure, witness)
+    else:
+        _msm_g1 = msm_g1 or engine.msm_g1
+        a_e, b_e, c_e = engine.matrix_evals(structure.constraints, witness, pk.domain)
+        h = engine.compute_h(a_e, b_e, c_e)
+        msms = {
+            "a": _msm_g1(pk.a_query, witness),
+            "b1": _msm_g1(pk.b1_query, witness),
+            "b2": engine.msm_g2(pk.b2_query, witness),
+            "c": _msm_g1(pk.c_query, witness[n_pub + 1 :]),
+            "h": _msm_g1(pk.h_query, h[: len(pk.h_query)]),
+        }
+    return _assemble_proof(pk, witness, msms, r, s)
 
 
 def mul_g1(p, k: int):

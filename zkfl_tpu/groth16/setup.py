@@ -142,7 +142,13 @@ def wire_evals(cs: ConstraintSystem, tau: int, domain: int):
     return a, b, c
 
 
-def groth16_setup(cs: ConstraintSystem, seed: str = "zkfl-dev") -> Tuple[ProvingKey, VerifyingKey]:
+def groth16_setup(
+    cs: ConstraintSystem, seed: str = "zkfl-dev", device: bool = True
+) -> Tuple[ProvingKey, VerifyingKey]:
+    """Phase-1+2 setup.  `device=True` (default) runs every fixed-base
+    encryption batch through the Pallas table-lookup kernels
+    (groth16/device_setup.py — one gather + 5 fused-add levels per batch);
+    `device=False` keeps the pure-Python ladder as oracle."""
     tau, alpha, beta, gamma, delta = _toxic_waste(seed)
     domain = domain_size_for(len(cs.constraints) + 1)
     m = cs.n_wires
@@ -153,40 +159,64 @@ def groth16_setup(cs: ConstraintSystem, seed: str = "zkfl-dev") -> Tuple[Proving
     gamma_inv = fr_inv(gamma)
     delta_inv = fr_inv(delta)
 
-    fb1 = FixedBaseG1()
-    fb2 = FixedBaseG2()
-
-    def e1(scalar):
-        return fb1.mul(scalar) if scalar % FR else None
-
-    def e2(scalar):
-        return fb2.mul(scalar) if scalar % FR else None
-
-    a_query = [e1(a_t[i]) for i in range(m)]
-    b1_query = [e1(b_t[i]) for i in range(m)]
-    b2_query = [e2(b_t[i]) for i in range(m)]
-
     def kterm(i):
         return (beta * a_t[i] + alpha * b_t[i] + c_t[i]) % FR
 
-    ic = [e1(kterm(i) * gamma_inv % FR) for i in range(n_pub + 1)]
-    c_query = [e1(kterm(i) * delta_inv % FR) for i in range(n_pub + 1, m)]
+    ic_scalars = [kterm(i) * gamma_inv % FR for i in range(n_pub + 1)]
+    c_scalars = [kterm(i) * delta_inv % FR for i in range(n_pub + 1, m)]
 
     z_tau = (pow(tau, domain, FR) - 1) % FR
-    h_query = []
+    h_scalars = []
     t_pow = 1
     for _ in range(domain - 1):
-        h_query.append(e1(t_pow * z_tau % FR * delta_inv % FR))
+        h_scalars.append(t_pow * z_tau % FR * delta_inv % FR)
         t_pow = t_pow * tau % FR
+
+    if device:
+        from .device_setup import batch_fixed_mul_g1, batch_fixed_mul_g2
+
+        n_a, n_ic, n_c = m, len(ic_scalars), len(c_scalars)
+        all_g1 = batch_fixed_mul_g1(
+            a_t + b_t + ic_scalars + c_scalars + h_scalars
+        )
+        a_query = all_g1[:n_a]
+        b1_query = all_g1[n_a : 2 * n_a]
+        ic = all_g1[2 * n_a : 2 * n_a + n_ic]
+        c_query = all_g1[2 * n_a + n_ic : 2 * n_a + n_ic + n_c]
+        h_query = all_g1[2 * n_a + n_ic + n_c :]
+        b2_query = batch_fixed_mul_g2(b_t)
+    else:
+        fb1 = FixedBaseG1()
+        fb2 = FixedBaseG2()
+
+        def e1(scalar):
+            return fb1.mul(scalar) if scalar % FR else None
+
+        def e2(scalar):
+            return fb2.mul(scalar) if scalar % FR else None
+
+        a_query = [e1(a_t[i]) for i in range(m)]
+        b1_query = [e1(b_t[i]) for i in range(m)]
+        b2_query = [e2(b_t[i]) for i in range(m)]
+        ic = [e1(s) for s in ic_scalars]
+        c_query = [e1(s) for s in c_scalars]
+        h_query = [e1(s) for s in h_scalars]
+
+    if device:
+        alpha1, beta1, delta1 = batch_fixed_mul_g1([alpha, beta, delta])
+        beta2, delta2, gamma2 = batch_fixed_mul_g2([beta, delta, gamma])
+    else:
+        alpha1, beta1, delta1 = fb1.mul(alpha), fb1.mul(beta), fb1.mul(delta)
+        beta2, delta2, gamma2 = fb2.mul(beta), fb2.mul(delta), fb2.mul(gamma)
 
     pk = ProvingKey(
         n_pub=n_pub,
         domain=domain,
-        alpha1=fb1.mul(alpha),
-        beta1=fb1.mul(beta),
-        delta1=fb1.mul(delta),
-        beta2=fb2.mul(beta),
-        delta2=fb2.mul(delta),
+        alpha1=alpha1,
+        beta1=beta1,
+        delta1=delta1,
+        beta2=beta2,
+        delta2=delta2,
         a_query=a_query,
         b1_query=b1_query,
         b2_query=b2_query,
@@ -196,7 +226,7 @@ def groth16_setup(cs: ConstraintSystem, seed: str = "zkfl-dev") -> Tuple[Proving
     vk = VerifyingKey(
         alpha1=pk.alpha1,
         beta2=pk.beta2,
-        gamma2=fb2.mul(gamma),
+        gamma2=gamma2,
         delta2=pk.delta2,
         ic=ic,
     )

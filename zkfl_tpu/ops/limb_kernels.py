@@ -1,0 +1,476 @@
+"""Pallas TPU kernels for batched BN254 field arithmetic (limb-major layout).
+
+This is the round-2 hot path: the XLA limb formulation (field/limbs.py)
+measured 5 M mont-muls/s on a v5e chip — memory-bound on the [batch, 16, 16]
+product tensors and skew gathers it materialises in HBM.  Fusing the whole
+schoolbook multiply + Montgomery reduction into one Pallas kernel keeps every
+intermediate in VMEM/registers and measures ~515 M mont-muls/s on the same
+chip (100x), which is what makes a device Pippenger MSM competitive with the
+reference's snarkjs prover (full_system_simulation.mjs:770-780, the ~95%
+hot path per SURVEY §3.3).
+
+Layout contract: a batch of field elements is uint32[16, L] — limb index in
+the sublane dimension (16 little-endian limbs of 16 bits), batch in the lane
+dimension.  L must be a multiple of 128 at kernel entry; the public wrappers
+pad and unpad automatically.  Values are < p and usually in Montgomery form
+(R = 2^256); the kernels are form-agnostic except where documented.
+
+Kernels run in interpret mode on CPU (tests / the virtual multi-chip mesh)
+and compiled on TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..field.bn254 import FQ, FR
+from ..field.limbs import LIMB_BITS, LIMB_MASK, N_LIMBS, R, int_to_limbs
+
+MAX_BLK = 4096  # lanes per grid step (VMEM footprint ~ a few MB)
+
+
+@functools.lru_cache(maxsize=1)
+def _interpret() -> bool:
+    """True off-TPU (CPU tests, the virtual multichip mesh).  The fused
+    Pallas kernels then fall back to the oracle-tested XLA limb layer
+    (field/limbs.py) — bit-identical Montgomery math; Pallas interpret mode
+    would be ~50 s per eager call and can't shard under shard_map."""
+    return jax.default_backend() != "tpu"
+
+
+def _lm2ll(x):
+    """Limb-major [..., 16, L] -> limb-last [..., L, 16] (fallback layout)."""
+    return jnp.moveaxis(x, -2, -1)
+
+
+def _ll2lm(x):
+    return jnp.moveaxis(x, -1, -2)
+
+
+def _limbs(x: int) -> tuple:
+    return tuple(int(v) for v in int_to_limbs(x))
+
+
+# ---------------------------------------------------------------------------
+# Kernel-body emitters.  Each operates on `limb vectors`: python lists of 16
+# (or 32) jnp arrays of shape [blk] uint32 holding 16-bit values.  Emitters
+# unroll the schoolbook loops at trace time; Mosaic keeps the intermediates
+# in vector registers / VMEM.
+# ---------------------------------------------------------------------------
+
+
+def _emit_mul_wide(x, y):
+    """Full 512-bit product of two 16-limb vectors -> 32 raw columns.
+
+    Column c accumulates lo/hi halves of the <=16 partial products with
+    i + j == c; every column stays < 32 * 2^16 < 2^21, so uint32 never
+    overflows before the carry pass."""
+    cols = [None] * (2 * N_LIMBS)
+
+    def acc(c, v):
+        cols[c] = v if cols[c] is None else cols[c] + v
+
+    for i in range(N_LIMBS):
+        xi = x[i]
+        for j in range(N_LIMBS):
+            p = xi * y[j]
+            acc(i + j, p & LIMB_MASK)
+            acc(i + j + 1, p >> LIMB_BITS)
+    return cols
+
+
+def _emit_mul_wide_const(x, const_limbs):
+    """x (16 limb vectors) times a compile-time constant (16 python ints)."""
+    cols = [None] * (2 * N_LIMBS)
+
+    def acc(c, v):
+        cols[c] = v if cols[c] is None else cols[c] + v
+
+    for i in range(N_LIMBS):
+        xi = x[i]
+        for j in range(N_LIMBS):
+            cj = const_limbs[j]
+            if cj == 0:
+                continue
+            p = xi * cj
+            acc(i + j, p & LIMB_MASK)
+            acc(i + j + 1, p >> LIMB_BITS)
+    for c in range(2 * N_LIMBS):
+        if cols[c] is None:
+            cols[c] = jnp.zeros_like(x[0])
+    return cols
+
+
+def _emit_mul_low_const(x, const_limbs):
+    """Low 16 limbs of x * const — the m = t * n' mod R step."""
+    cols = [None] * N_LIMBS
+
+    def acc(c, v):
+        if c < N_LIMBS:
+            cols[c] = v if cols[c] is None else cols[c] + v
+
+    for i in range(N_LIMBS):
+        xi = x[i]
+        for j in range(N_LIMBS - i):
+            cj = const_limbs[j]
+            if cj == 0:
+                continue
+            p = xi * cj
+            acc(i + j, p & LIMB_MASK)
+            acc(i + j + 1, p >> LIMB_BITS)
+    for c in range(N_LIMBS):
+        if cols[c] is None:
+            cols[c] = jnp.zeros_like(x[0])
+    return cols
+
+
+def _emit_carry(cols):
+    """Raw columns (< 2^31) -> canonical 16-bit limbs, ripple carry.
+
+    The unrolled ripple is ~2 ops/limb on whole vectors; inside a fused
+    kernel this beats a Kogge-Stone prefix (which only pays off when each
+    step is a separate XLA op)."""
+    out = []
+    carry = None
+    for c in cols:
+        s = c if carry is None else c + carry
+        out.append(s & LIMB_MASK)
+        carry = s >> LIMB_BITS
+    return out, carry
+
+
+def _emit_geq_const(u, const_limbs):
+    """u >= const (16 limbs vs python ints) -> bool vector."""
+    eq = None
+    gt = None
+    for i in range(N_LIMBS - 1, -1, -1):
+        ci = const_limbs[i]
+        gt_i = u[i] > ci
+        eq_i = u[i] == ci
+        if eq is None:
+            gt, eq = gt_i, eq_i
+        else:
+            gt = gt | (eq & gt_i)
+            eq = eq & eq_i
+    return gt | eq
+
+
+def _emit_cond_sub_const(u, const_limbs, need):
+    """u - const where `need` (bool vector), else u.  u >= const when need."""
+    out = []
+    borrow = None
+    for i in range(N_LIMBS):
+        d = u[i] + (1 << LIMB_BITS) - const_limbs[i] - (0 if borrow is None else borrow)
+        out.append(jnp.where(need, d & LIMB_MASK, u[i]))
+        borrow = 1 - (d >> LIMB_BITS)
+    return out
+
+
+def _emit_mont_reduce(t_cols, p_limbs, np_limbs):
+    """32 carried columns (t < p*R) -> t * R^-1 mod p, canonical 16 limbs."""
+    t16, _ = _emit_carry(t_cols)
+    m = _emit_mul_low_const(t16[:N_LIMBS], np_limbs)
+    m16, _ = _emit_carry(m)
+    mn = _emit_mul_wide_const(m16, p_limbs)
+    s = [t16[i] + mn[i] for i in range(2 * N_LIMBS)]
+    s16, _ = _emit_carry(s)
+    u = s16[N_LIMBS:]
+    return _emit_cond_sub_const(u, p_limbs, _emit_geq_const(u, p_limbs))
+
+
+def _emit_mont_mul(x, y, p_limbs, np_limbs):
+    return _emit_mont_reduce(_emit_mul_wide(x, y), p_limbs, np_limbs)
+
+
+def _emit_mont_mul_const(x, const_limbs, p_limbs, np_limbs):
+    return _emit_mont_reduce(_emit_mul_wide_const(x, const_limbs), p_limbs, np_limbs)
+
+
+def _emit_add(a, b, p_limbs):
+    s = [a[i] + b[i] for i in range(N_LIMBS)]
+    s16, _ = _emit_carry(s)
+    return _emit_cond_sub_const(s16, p_limbs, _emit_geq_const(s16, p_limbs))
+
+
+def _emit_sub(a, b, p_limbs):
+    """(a - b) mod p for canonical a, b: compute a + (p - b) ... cheaper as
+    subtract-with-borrow then conditionally add p."""
+    d = []
+    borrow = None
+    for i in range(N_LIMBS):
+        t = a[i] + (1 << LIMB_BITS) - b[i] - (0 if borrow is None else borrow)
+        d.append(t & LIMB_MASK)
+        borrow = 1 - (t >> LIMB_BITS)
+    need = borrow == 1  # a < b
+    out = []
+    carry = None
+    for i in range(N_LIMBS):
+        s = d[i] + p_limbs[i] + (0 if carry is None else carry)
+        out.append(jnp.where(need, s & LIMB_MASK, d[i]))
+        carry = s >> LIMB_BITS
+    return out
+
+
+def _read(ref, row0=0):
+    return [ref[row0 + i, :] for i in range(N_LIMBS)]
+
+
+def _write(ref, limbs, row0=0):
+    for i in range(N_LIMBS):
+        ref[row0 + i, :] = limbs[i]
+
+
+# ---------------------------------------------------------------------------
+# Public field-kernel factory
+# ---------------------------------------------------------------------------
+
+
+class PallasField:
+    """Per-modulus fused field kernels on uint32[16, L] limb-major tensors."""
+
+    def __init__(self, modulus: int, name: str):
+        self.p = modulus
+        self.name = name
+        self.mont_r = R % modulus
+        self.mont_r2 = (R * R) % modulus
+        self.n_prime = (-pow(modulus, -1, R)) % R
+        self._PL = _limbs(modulus)
+        self._NPL = _limbs(self.n_prime)
+        self._R2L = _limbs(self.mont_r2)
+        self.one_mont_col = jnp.asarray(
+            np.array(int_to_limbs(self.mont_r), dtype=np.uint32).reshape(N_LIMBS, 1)
+        )
+
+    @property
+    def _lf(self):
+        """XLA limb-field twin (fallback path off-TPU)."""
+        from ..field.limbs import FQ_FIELD, FR_FIELD
+
+        return FQ_FIELD if self.p == FQ else FR_FIELD
+
+    def _const_ll(self, const: int, like):
+        """Constant as broadcast limb-LAST tensor matching `like` [..., 16]."""
+        c = jnp.asarray(int_to_limbs(const))
+        return jnp.broadcast_to(c, like.shape)
+
+    # -- kernel bodies ----------------------------------------------------
+    def _k_mont_mul(self, a_ref, b_ref, o_ref):
+        _write(o_ref, _emit_mont_mul(_read(a_ref), _read(b_ref), self._PL, self._NPL))
+
+    def _k_mont_sqr(self, a_ref, o_ref):
+        a = _read(a_ref)
+        _write(o_ref, _emit_mont_mul(a, a, self._PL, self._NPL))
+
+    def _k_add(self, a_ref, b_ref, o_ref):
+        _write(o_ref, _emit_add(_read(a_ref), _read(b_ref), self._PL))
+
+    def _k_sub(self, a_ref, b_ref, o_ref):
+        _write(o_ref, _emit_sub(_read(a_ref), _read(b_ref), self._PL))
+
+    def _k_from_mont(self, a_ref, o_ref):
+        cols = list(_read(a_ref)) + [jnp.zeros_like(a_ref[0, :])] * N_LIMBS
+        _write(o_ref, _emit_mont_reduce(cols, self._PL, self._NPL))
+
+    def _k_to_mont(self, a_ref, o_ref):
+        _write(
+            o_ref,
+            _emit_mont_mul_const(_read(a_ref), self._R2L, self._PL, self._NPL),
+        )
+
+    def _k_butterfly(self, u_ref, v_ref, tw_ref, hi_ref, lo_ref):
+        """NTT butterfly: t = v * tw; hi = u + t, lo = u - t (one kernel)."""
+        u = _read(u_ref)
+        t = _emit_mont_mul(_read(v_ref), _read(tw_ref), self._PL, self._NPL)
+        _write(hi_ref, _emit_add(u, t, self._PL))
+        _write(lo_ref, _emit_sub(u, t, self._PL))
+
+    def _k_normalize_raw(self, a_ref, o_ref):
+        """Raw per-limb column sums (each < 2^31, e.g. from a segment_sum of
+        Montgomery-form terms) -> canonical Montgomery form: carry, Montgomery
+        reduce (strips one R), then multiply by R^2 to restore the form."""
+        zeros = [jnp.zeros_like(a_ref[0, :])] * N_LIMBS
+        cols = list(_read(a_ref)) + zeros
+        red = _emit_mont_reduce(cols, self._PL, self._NPL)
+        _write(o_ref, _emit_mont_mul_const(red, self._R2L, self._PL, self._NPL))
+
+    def _k_mul_sub_mul_const(self, a_ref, b_ref, c_ref, o_ref, const_limbs):
+        """(a*b - c) * const — the QAP pointwise (A.B - C) / Z step fused."""
+        ab = _emit_mont_mul(_read(a_ref), _read(b_ref), self._PL, self._NPL)
+        d = _emit_sub(ab, _read(c_ref), self._PL)
+        _write(o_ref, _emit_mont_mul_const(d, const_limbs, self._PL, self._NPL))
+
+    # -- pallas_call plumbing ----------------------------------------------
+    @staticmethod
+    def _blk(L: int) -> int:
+        """Lanes per grid step; L is always padded to a multiple of the
+        result.  Quantised to powers of two in [128, MAX_BLK] so the whole
+        program instantiates at most four Mosaic kernel shapes per op —
+        arbitrary per-call-site blocks made XLA compile each scan level's
+        kernel from scratch (~20 s each)."""
+        blk = 128
+        while blk < L and blk < MAX_BLK:
+            blk *= 2
+        return blk
+
+    def _call(self, kernel, n_in: int, n_out: int, *args, suffix=""):
+        """Invoke `kernel` over [16, L] operands (already padded)."""
+        L = args[0].shape[-1]
+        blk = self._blk(L)
+        spec = pl.BlockSpec((N_LIMBS, blk), lambda i: (0, i), memory_space=pltpu.VMEM)
+        out_shape = [jax.ShapeDtypeStruct((N_LIMBS, L), jnp.uint32)] * n_out
+        out_specs = [spec] * n_out
+        fn = pl.pallas_call(
+            kernel,
+            out_shape=out_shape if n_out > 1 else out_shape[0],
+            grid=(L // blk,),
+            in_specs=[spec] * n_in,
+            out_specs=out_specs if n_out > 1 else out_specs[0],
+            interpret=_interpret(),
+        )
+        return fn(*args)
+
+    def _pad(self, x):
+        L = x.shape[-1]
+        blk = self._blk(L)
+        Lp = -(-L // blk) * blk
+        if Lp == L:
+            return x, L
+        pad = [(0, 0)] * (x.ndim - 1) + [(0, Lp - L)]
+        return jnp.pad(x, pad), L
+
+    def _wrap(self, kernel, n_in):
+        def fn(*args):
+            padded = []
+            L0 = args[0].shape[-1]
+            for a in args:
+                ap, _ = self._pad(a)
+                padded.append(ap)
+            out = self._call(kernel, n_in, 1, *padded)
+            return out[..., :L0]
+
+        return fn
+
+    # -- public ops (all [16, L] uint32 -> [16, L] uint32) ------------------
+    def mont_mul(self, a, b):
+        if _interpret():
+            return _ll2lm(self._lf.mont_mul(_lm2ll(a), _lm2ll(b)))
+        return self._wrap(self._k_mont_mul, 2)(a, b)
+
+    def mont_sqr(self, a):
+        if _interpret():
+            return _ll2lm(self._lf.mont_square(_lm2ll(a)))
+        return self._wrap(self._k_mont_sqr, 1)(a)
+
+    def add(self, a, b):
+        if _interpret():
+            return _ll2lm(self._lf.add(_lm2ll(a), _lm2ll(b)))
+        return self._wrap(self._k_add, 2)(a, b)
+
+    def sub(self, a, b):
+        if _interpret():
+            return _ll2lm(self._lf.sub(_lm2ll(a), _lm2ll(b)))
+        return self._wrap(self._k_sub, 2)(a, b)
+
+    def from_mont(self, a):
+        if _interpret():
+            return _ll2lm(self._lf.from_mont_device(_lm2ll(a)))
+        return self._wrap(self._k_from_mont, 1)(a)
+
+    def to_mont(self, a):
+        if _interpret():
+            return _ll2lm(self._lf.to_mont_device(_lm2ll(a)))
+        return self._wrap(self._k_to_mont, 1)(a)
+
+    def normalize_raw(self, a):
+        """Raw column sums of Montgomery terms -> canonical Montgomery."""
+        if _interpret():
+            lf = self._lf
+            x = _lm2ll(a)
+            ext = jnp.concatenate(
+                [x, jnp.zeros(x.shape[:-1] + (1,), dtype=jnp.uint32)], axis=-1
+            )
+            norm17 = lf._carry_propagate(ext, N_LIMBS + 1)
+            padded = jnp.concatenate(
+                [norm17, jnp.zeros(x.shape[:-1] + (N_LIMBS - 1,), dtype=jnp.uint32)],
+                axis=-1,
+            )
+            red = lf.mont_reduce(padded)
+            return _ll2lm(lf.mont_mul(red, jnp.broadcast_to(lf.R2, red.shape)))
+        return self._wrap(self._k_normalize_raw, 1)(a)
+
+    def butterfly(self, u, v, tw):
+        """Returns (u + v*tw, u - v*tw) mod p."""
+        if _interpret():
+            lf = self._lf
+            ul, vl, twl = _lm2ll(u), _lm2ll(v), _lm2ll(tw)
+            t = lf.mont_mul(vl, twl)
+            return _ll2lm(lf.add(ul, t)), _ll2lm(lf.sub(ul, t))
+        L0 = u.shape[-1]
+        up, _ = self._pad(u)
+        vp, _ = self._pad(v)
+        twp, _ = self._pad(tw)
+        hi, lo = self._call(self._k_butterfly, 3, 2, up, vp, twp)
+        return hi[..., :L0], lo[..., :L0]
+
+    def mul_sub_mul_const(self, a, b, c, const: int):
+        """(a*b - c) * const, const a python int in Montgomery form."""
+        if _interpret():
+            lf = self._lf
+            al, bl, cl_ = _lm2ll(a), _lm2ll(b), _lm2ll(c)
+            d = lf.sub(lf.mont_mul(al, bl), cl_)
+            return _ll2lm(lf.mont_mul(d, self._const_ll(const, d)))
+        cl = _limbs(const)
+
+        def kern(a_ref, b_ref, c_ref, o_ref):
+            self._k_mul_sub_mul_const(a_ref, b_ref, c_ref, o_ref, cl)
+
+        L0 = a.shape[-1]
+        ap, _ = self._pad(a)
+        bp, _ = self._pad(b)
+        cp, _ = self._pad(c)
+        return self._call(kern, 3, 1, ap, bp, cp)[..., :L0]
+
+    def mont_mul_const(self, a, const: int):
+        """a * const * R^-1 mod p (const given in the form that makes the
+        result meaningful; pass mont-form const to stay in mont form)."""
+        if _interpret():
+            al = _lm2ll(a)
+            return _ll2lm(self._lf.mont_mul(al, self._const_ll(const, al)))
+        cl = _limbs(const)
+
+        def kern(a_ref, o_ref):
+            _write(o_ref, _emit_mont_mul_const(_read(a_ref), cl, self._PL, self._NPL))
+
+        return self._wrap(kern, 1)(a)
+
+    # -- host/layout converters --------------------------------------------
+    def pack(self, xs, mont: bool = True) -> np.ndarray:
+        """list[int] -> uint32[16, n] (limb-major), optionally Montgomery."""
+        if mont:
+            xs = [x % self.p * self.mont_r % self.p for x in xs]
+        else:
+            xs = [x % self.p for x in xs]
+        buf = b"".join(x.to_bytes(32, "little") for x in xs)
+        u16 = np.frombuffer(buf, dtype=np.uint16).reshape(len(xs), N_LIMBS)
+        return np.ascontiguousarray(u16.T).astype(np.uint32)
+
+    def unpack(self, a, mont: bool = True) -> list:
+        """uint32[..., 16, n] -> flat list[int] (host)."""
+        arr = np.asarray(a)
+        arr = np.moveaxis(arr, -2, -1).reshape(-1, N_LIMBS).astype(np.uint16)
+        data = arr.tobytes()
+        vals = [int.from_bytes(data[i : i + 32], "little") for i in range(0, len(data), 32)]
+        if mont:
+            r_inv = pow(self.mont_r, -1, self.p)
+            vals = [v * r_inv % self.p for v in vals]
+        return vals
+
+
+FQK = PallasField(FQ, "fq")
+FRK = PallasField(FR, "fr")

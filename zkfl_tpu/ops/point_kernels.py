@@ -1,0 +1,386 @@
+"""Fused Pallas curve kernels: G1/G2 point add + double (limb-major layout).
+
+The round-1 device MSM paid ~0.3 M point-adds/s because every one of the 12
+Montgomery multiplies in a complete addition round-tripped its [batch,16,16]
+partials through HBM.  Here a whole Renes-Costello-Batina 2015 complete
+addition (Algorithm 7/9, a=0 — branchless, identity/doubling-safe, every
+lane executes the same instructions) is ONE Pallas kernel: 6 input coords in,
+3 out, all partial products live in VMEM.  This is the inner op of the
+Pippenger MSM (ops/msm_pallas.py), replacing snarkjs's ffjavascript MSM
+(reference hot path, full_system_simulation.mjs:770-780).
+
+Layouts (uint32, limb-major, Montgomery form):
+  G1 point batch: [3, 16, L]      (X:Y:Z projective, 16x16-bit limbs)
+  G2 point batch: [3, 2, 16, L]   (Fq2 coords c0 + c1*u)
+Identity is (0:1:0).  L is the lane axis; wrappers flatten any trailing
+batch dims and pad to the kernel block size.
+
+G2 arithmetic composes the scalar-field kernels at the XLA level with
+lane-stacking (Karatsuba: 3 FQ multiplies per Fq2 multiply batched into one
+kernel call) — a fully fused Fq2 addition kernel would be ~100k traced ops,
+past the point of diminishing returns for 1 of the 5 per-proof MSMs.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..field.bn254 import FQ
+from ..field.curve import TWIST_B
+from ..field.limbs import N_LIMBS
+from . import curve as _oc
+from .limb_kernels import (
+    FQK,
+    _emit_add,
+    _emit_mont_mul,
+    _emit_mont_mul_const,
+    _emit_sub,
+    _interpret,
+    _limbs,
+)
+
+POINT_BLK = 1024
+
+_PL = FQK._PL
+_NPL = FQK._NPL
+_B3_G1 = _limbs(9 * FQK.mont_r % FQ)  # 3*b (b=3) in Montgomery form
+_B3_G2 = (
+    _limbs(3 * TWIST_B.coeffs[0] % FQ * FQK.mont_r % FQ),
+    _limbs(3 * TWIST_B.coeffs[1] % FQ * FQK.mont_r % FQ),
+)
+
+
+def _coords(ref, c):
+    return [ref[c, i, :] for i in range(N_LIMBS)]
+
+
+def _store(ref, c, limbs):
+    for i in range(N_LIMBS):
+        ref[c, i, :] = limbs[i]
+
+
+def _padd_kernel(p_ref, q_ref, o_ref):
+    """Complete projective G1 addition, RCB15 alg. 7 (a=0), fully fused."""
+    mul = lambda a, b: _emit_mont_mul(a, b, _PL, _NPL)
+    mulb3 = lambda a: _emit_mont_mul_const(a, _B3_G1, _PL, _NPL)
+    add = lambda a, b: _emit_add(a, b, _PL)
+    sub = lambda a, b: _emit_sub(a, b, _PL)
+
+    x1, y1, z1 = _coords(p_ref, 0), _coords(p_ref, 1), _coords(p_ref, 2)
+    x2, y2, z2 = _coords(q_ref, 0), _coords(q_ref, 1), _coords(q_ref, 2)
+
+    t0 = mul(x1, x2)
+    t1 = mul(y1, y2)
+    t2 = mul(z1, z2)
+    t3 = sub(mul(add(x1, y1), add(x2, y2)), add(t0, t1))  # X1Y2 + X2Y1
+    t4 = sub(mul(add(y1, z1), add(y2, z2)), add(t1, t2))  # Y1Z2 + Y2Z1
+    y3 = sub(mul(add(x1, z1), add(x2, z2)), add(t0, t2))  # X1Z2 + X2Z1
+    t00 = add(add(t0, t0), t0)  # 3*X1X2
+    t2b = mulb3(t2)             # b3*Z1Z2
+    y3b = mulb3(y3)             # b3*(X1Z2+X2Z1)
+    z3a = add(t1, t2b)          # Y1Y2 + b3Z1Z2
+    t1b = sub(t1, t2b)          # Y1Y2 - b3Z1Z2
+    x3 = sub(mul(t3, t1b), mul(t4, y3b))
+    y3f = add(mul(t1b, z3a), mul(t00, y3b))
+    z3f = add(mul(z3a, t4), mul(t00, t3))
+    _store(o_ref, 0, x3)
+    _store(o_ref, 1, y3f)
+    _store(o_ref, 2, z3f)
+
+
+def _pdbl_kernel(p_ref, o_ref):
+    """Complete projective G1 doubling, RCB15 alg. 9 (a=0), fully fused."""
+    mul = lambda a, b: _emit_mont_mul(a, b, _PL, _NPL)
+    mulb3 = lambda a: _emit_mont_mul_const(a, _B3_G1, _PL, _NPL)
+    add = lambda a, b: _emit_add(a, b, _PL)
+    sub = lambda a, b: _emit_sub(a, b, _PL)
+
+    x, y, z = _coords(p_ref, 0), _coords(p_ref, 1), _coords(p_ref, 2)
+    t0 = mul(y, y)
+    t1 = mul(y, z)
+    zz = mul(z, z)
+    xy = mul(x, y)
+    z3 = add(t0, t0)
+    z3 = add(z3, z3)
+    z3 = add(z3, z3)            # 8*Y^2
+    t2 = mulb3(zz)              # b3*Z^2
+    y3 = add(t0, t2)
+    t2s = add(add(t2, t2), t2)  # 3*b3*Z^2
+    t0s = sub(t0, t2s)
+    x3a = mul(t2, z3)
+    z3f = mul(t1, z3)
+    y3a = mul(t0s, y3)
+    x3h = mul(t0s, xy)
+    y3f = add(x3a, y3a)
+    x3f = add(x3h, x3h)
+    _store(o_ref, 0, x3f)
+    _store(o_ref, 1, y3f)
+    _store(o_ref, 2, z3f)
+
+
+def _flatten_lanes(x, coord_dims: int):
+    """[3, (2,), 16, *B] -> ([3, (2,), 16, M], unflatten)."""
+    lead = x.shape[: coord_dims + 1]  # (3, [2,] 16)
+    batch = x.shape[coord_dims + 1 :]
+    M = int(np.prod(batch)) if batch else 1
+    flat = x.reshape(lead + (M,))
+
+    def unflatten(y):
+        return y.reshape(lead + batch)
+
+    return flat, unflatten
+
+
+def _pad_lanes(x, blk):
+    M = x.shape[-1]
+    Mp = -(-M // blk) * blk
+    if Mp == M:
+        return x, M
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, Mp - M)]
+    return jnp.pad(x, pad), M
+
+
+def _point_call(kernel, n_in, args, blk=POINT_BLK):
+    M = args[0].shape[-1]
+    # power-of-two block quantisation: at most 4 Mosaic shapes per kernel
+    b = 128
+    while b < M and b < blk:
+        b *= 2
+    blk = b
+    padded = [
+        _pad_lanes(a, blk)[0] for a in args
+    ]
+    Mp = padded[0].shape[-1]
+    spec = pl.BlockSpec((3, N_LIMBS, blk), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((3, N_LIMBS, Mp), jnp.uint32),
+        grid=(Mp // blk,),
+        in_specs=[spec] * n_in,
+        out_specs=spec,
+        interpret=_interpret(),
+    )(*padded)
+    return out[..., :M]
+
+
+# ---------------------------------------------------------------------------
+# G1 public ops — [3, 16, *batch]
+# ---------------------------------------------------------------------------
+
+
+def padd(p, q):
+    """Complete G1 addition on [3, 16, *batch] limb-major points."""
+    pf, unf = _flatten_lanes(p, 1)
+    qf, _ = _flatten_lanes(q, 1)
+    if _interpret():  # off-TPU: XLA limb-last curve ops (bit-identical)
+        r = _oc.padd(
+            jnp.transpose(pf, (2, 0, 1)), jnp.transpose(qf, (2, 0, 1)), _oc.G1
+        )
+        return unf(jnp.transpose(r, (1, 2, 0)))
+    return unf(_point_call(_padd_kernel, 2, [pf, qf]))
+
+
+def pdbl(p):
+    pf, unf = _flatten_lanes(p, 1)
+    if _interpret():
+        r = _oc.pdbl(jnp.transpose(pf, (2, 0, 1)), _oc.G1)
+        return unf(jnp.transpose(r, (1, 2, 0)))
+    return unf(_point_call(_pdbl_kernel, 1, [pf]))
+
+
+def inf_point(batch=()):
+    """Identity (0:1:0) as [3, 16, *batch]."""
+    pt = jnp.zeros((3, N_LIMBS) + tuple(batch), dtype=jnp.uint32)
+    one = FQK.one_mont_col.reshape((N_LIMBS,) + (1,) * len(batch))
+    return pt.at[1].set(jnp.broadcast_to(one, (N_LIMBS,) + tuple(batch)))
+
+
+def select(mask, p, q):
+    """mask bool[*batch]: p where mask else q (points [3, 16, *batch])."""
+    return jnp.where(mask[None, None], p, q)
+
+
+# ---------------------------------------------------------------------------
+# G2 ops — [3, 2, 16, *batch], Fq2 via lane-stacked FQ kernels
+# ---------------------------------------------------------------------------
+
+
+def _fq2_mul_many(pairs):
+    """pairs: list of (a, b) with a, b [2, 16, L] -> list of products.
+
+    Karatsuba over u^2 = -1: for each pair, 3 FQ multiplies; all pairs and
+    all 3 multiplies are lane-concatenated into ONE fused kernel call."""
+    k = len(pairs)
+    a0s = [a[0] for a, _ in pairs]
+    a1s = [a[1] for a, _ in pairs]
+    b0s = [b[0] for _, b in pairs]
+    b1s = [b[1] for _, b in pairs]
+    sa = FQK.add(jnp.concatenate(a0s, -1), jnp.concatenate(a1s, -1))
+    sb = FQK.add(jnp.concatenate(b0s, -1), jnp.concatenate(b1s, -1))
+    L = a0s[0].shape[-1]
+    lhs = jnp.concatenate([jnp.concatenate(a0s, -1), jnp.concatenate(a1s, -1), sa], -1)
+    rhs = jnp.concatenate([jnp.concatenate(b0s, -1), jnp.concatenate(b1s, -1), sb], -1)
+    prod = FQK.mont_mul(lhs, rhs)  # [16, 3kL]
+    t0 = prod[..., : k * L]
+    t1 = prod[..., k * L : 2 * k * L]
+    t2 = prod[..., 2 * k * L :]
+    c0 = FQK.sub(t0, t1)                     # a0b0 - a1b1
+    c1 = FQK.sub(t2, FQK.add(t0, t1))        # (a0+a1)(b0+b1) - a0b0 - a1b1
+    out = []
+    for i in range(k):
+        out.append(jnp.stack([c0[..., i * L : (i + 1) * L], c1[..., i * L : (i + 1) * L]], 0))
+    return out
+
+
+def _fq2_add(a, b):
+    return jnp.stack([FQK.add(a[0], b[0]), FQK.add(a[1], b[1])], 0)
+
+
+def _fq2_sub(a, b):
+    return jnp.stack([FQK.sub(a[0], b[0]), FQK.sub(a[1], b[1])], 0)
+
+
+def _fq2_b3(L):
+    c0 = np.array([_B3_G2[0]], dtype=np.uint32).T  # [16,1]
+    c1 = np.array([_B3_G2[1]], dtype=np.uint32).T
+    return jnp.stack(
+        [
+            jnp.broadcast_to(jnp.asarray(c0), (N_LIMBS, L)),
+            jnp.broadcast_to(jnp.asarray(c1), (N_LIMBS, L)),
+        ],
+        0,
+    )
+
+
+def padd_g2(p, q):
+    """Complete G2 addition (RCB15 alg. 7 over Fq2) on [3, 2, 16, *batch]."""
+    pf, unf = _flatten_lanes(p, 2)
+    qf, _ = _flatten_lanes(q, 2)
+    x1, y1, z1 = pf[0], pf[1], pf[2]
+    x2, y2, z2 = qf[0], qf[1], qf[2]
+    L = x1.shape[-1]
+    b3 = _fq2_b3(L)
+
+    m = _fq2_mul_many(
+        [
+            (x1, x2),
+            (y1, y2),
+            (z1, z2),
+            (_fq2_add(x1, y1), _fq2_add(x2, y2)),
+            (_fq2_add(y1, z1), _fq2_add(y2, z2)),
+            (_fq2_add(x1, z1), _fq2_add(x2, z2)),
+        ]
+    )
+    t0, t1, t2, p3, p4, p5 = m
+    t3 = _fq2_sub(p3, _fq2_add(t0, t1))
+    t4 = _fq2_sub(p4, _fq2_add(t1, t2))
+    y3 = _fq2_sub(p5, _fq2_add(t0, t2))
+    t00 = _fq2_add(_fq2_add(t0, t0), t0)
+    m2 = _fq2_mul_many([(b3, t2), (b3, y3)])
+    t2b, y3b = m2
+    z3a = _fq2_add(t1, t2b)
+    t1b = _fq2_sub(t1, t2b)
+    m3 = _fq2_mul_many(
+        [(t3, t1b), (t4, y3b), (t1b, z3a), (t00, y3b), (z3a, t4), (t00, t3)]
+    )
+    x3 = _fq2_sub(m3[0], m3[1])
+    y3f = _fq2_add(m3[2], m3[3])
+    z3f = _fq2_add(m3[4], m3[5])
+    return unf(jnp.stack([x3, y3f, z3f], 0))
+
+
+def pdbl_g2(p):
+    """Complete G2 doubling (RCB15 alg. 9 over Fq2)."""
+    pf, unf = _flatten_lanes(p, 2)
+    x, y, z = pf[0], pf[1], pf[2]
+    L = x.shape[-1]
+    b3 = _fq2_b3(L)
+    m = _fq2_mul_many([(y, y), (y, z), (z, z), (x, y)])
+    t0, t1, zz, xy = m
+    z3 = _fq2_add(t0, t0)
+    z3 = _fq2_add(z3, z3)
+    z3 = _fq2_add(z3, z3)
+    t2 = _fq2_mul_many([(b3, zz)])[0]
+    y3 = _fq2_add(t0, t2)
+    t2s = _fq2_add(_fq2_add(t2, t2), t2)
+    t0s = _fq2_sub(t0, t2s)
+    m2 = _fq2_mul_many([(t2, z3), (t1, z3), (t0s, y3), (t0s, xy)])
+    x3a, z3f, y3a, x3h = m2
+    y3f = _fq2_add(x3a, y3a)
+    x3f = _fq2_add(x3h, x3h)
+    return unf(jnp.stack([x3f, y3f, z3f], 0))
+
+
+def inf_point_g2(batch=()):
+    pt = jnp.zeros((3, 2, N_LIMBS) + tuple(batch), dtype=jnp.uint32)
+    one = FQK.one_mont_col.reshape((N_LIMBS,) + (1,) * len(batch))
+    return pt.at[1, 0].set(jnp.broadcast_to(one, (N_LIMBS,) + tuple(batch)))
+
+
+def select_g2(mask, p, q):
+    return jnp.where(mask[None, None, None], p, q)
+
+
+# ---------------------------------------------------------------------------
+# Host converters
+# ---------------------------------------------------------------------------
+
+
+def g1_to_device(points) -> jnp.ndarray:
+    """Affine int pairs (None = identity) -> [3, 16, n] Montgomery limbs."""
+    xs = [0 if p is None else p[0] % FQ for p in points]
+    ys = [1 if p is None else p[1] % FQ for p in points]
+    zs = [0 if p is None else 1 for p in points]
+    return jnp.asarray(
+        np.stack([FQK.pack(xs), FQK.pack(ys), FQK.pack(zs)], axis=0)
+    )
+
+
+def g2_to_device(points) -> jnp.ndarray:
+    """Affine Fq2 pairs ((x0,x1),(y0,y1)) or None -> [3, 2, 16, n]."""
+
+    def coeffs(p, idx, default):
+        if p is None:
+            return default
+        c = p[idx].coeffs if hasattr(p[idx], "coeffs") else p[idx]
+        return (c[0] % FQ, c[1] % FQ)
+
+    xs = [coeffs(p, 0, (0, 0)) for p in points]
+    ys = [coeffs(p, 1, (1, 0)) for p in points]
+    zs = [(0, 0) if p is None else (1, 0) for p in points]
+    arr = np.stack(
+        [
+            np.stack([FQK.pack([v[0] for v in cs]), FQK.pack([v[1] for v in cs])], 0)
+            for cs in (xs, ys, zs)
+        ],
+        axis=0,
+    )
+    return jnp.asarray(arr)
+
+
+def g1_from_device(pt) -> tuple | None:
+    """[3, 16] limb-major projective -> affine int pair (None = identity)."""
+    arr = np.asarray(pt).reshape(3, N_LIMBS, 1)
+    x, y, z = (FQK.unpack(arr[i]) [0] for i in range(3))
+    if z == 0:
+        return None
+    zinv = pow(z, -1, FQ)
+    return (x * zinv % FQ, y * zinv % FQ)
+
+
+def g2_from_device(pt):
+    from ..field.tower import FQ2
+
+    arr = np.asarray(pt).reshape(3, 2, N_LIMBS, 1)
+    c = [[FQK.unpack(arr[i, j])[0] for j in range(2)] for i in range(3)]
+    x, y, z = (FQ2(cc) for cc in c)
+    if z.is_zero():
+        return None
+    zi = z.inv()
+    return (x * zi, y * zi)
