@@ -130,3 +130,62 @@ def test_balance_prod_dims_witness():
     cs = build_circuit(p, inp)
     assert cs.is_satisfied()
     assert cs.stats()["constraints"] > 50_000
+
+
+# -- Inherited fixed-point gaps (ADVICE r1: documented, demonstrated) --------
+
+class TestFixedpointInheritedGaps:
+    """The reference's fixedpoint.circom carries two soundness gaps that we
+    replicate faithfully (parity, not regression).  These tests PROVE the
+    gaps are real by constructing satisfying adversarial witnesses — the
+    executable form of the module docstring's warnings."""
+
+    def test_fixed_mul_remainder_wrap_forges_quotient(self):
+        """LessThan(64) admits a field-negative remainder (rem = FR - k,
+        k < 2^64 - P), so the quotient can be shifted (fixedpoint.circom
+        :64-73 has the identical gap)."""
+        from zkfl_tpu.r1cs.builder import ConstraintSystem
+        from zkfl_tpu.r1cs.fixedpoint import fixed_mul
+
+        P = 1000
+        cs = ConstraintSystem()
+        a = cs.private_input("a", 3140)
+        b = cs.private_input("b", 2000)
+        q = fixed_mul(cs, a, b, P)
+        assert q.value == 6280 and cs.is_satisfied()
+
+        w_q = next(iter(q.terms))
+        w_prod, w_rem = w_q - 1, w_q + 1
+        vals = list(cs.values)
+        product = vals[w_prod]
+        q_bad = (vals[w_q] + 1) % FR           # forge quotient + 1
+        rem_bad = (product - q_bad * P) % FR    # field-negative remainder
+        vals[w_q], vals[w_rem] = q_bad, rem_bad
+        shifted = (rem_bad + (1 << 64) - P) % FR
+        for i in range(65):                     # LessThan's Num2Bits wires
+            vals[w_rem + 1 + i] = (shifted >> i) & 1
+        cs.values = vals
+        # adversarial witness SATISFIES the constraint system -> gap is real
+        assert cs.is_satisfied()
+        assert cs.values[w_q] != 6280
+
+    def test_fixed_abs_sign_hint_unconstrained(self):
+        """The branch-consistency check (:346-349) holds for either boolean
+        is_neg, so a prover may return value instead of -value."""
+        from zkfl_tpu.r1cs.builder import ConstraintSystem
+        from zkfl_tpu.r1cs.fixedpoint import fixed_abs
+
+        v = (FR - 5000) % FR  # -5.0 in field encoding
+        cs = ConstraintSystem()
+        x = cs.private_input("x", v)
+        r = fixed_abs(cs, x)
+        assert r.value == 5000 and cs.is_satisfied()
+
+        # wire layout: x=1, is_neg=2, mul(is_neg, -2v)=3, branch muls 4, 5
+        vals = list(cs.values)
+        vals[2] = 0  # lie: claim non-negative
+        vals[3] = 0  # is_neg * (neg - value) = 0
+        vals[4] = 0  # is_neg * (result + value) = 0
+        vals[5] = 0  # (1 - is_neg) * (result - value) = value - value = 0
+        cs.values = vals
+        assert cs.is_satisfied()  # abs is advisory: forged branch accepted

@@ -224,3 +224,15 @@ def test_tiny_dummy_structure_builds():
         cs = build_structure(params)
         assert len(cs.constraints) > 0
         assert cs.stats()["public_inputs"] == 5
+
+
+@pytest.mark.parametrize("simple", [False, True])
+def test_tiny_structure_matches_real_inputs(simple):
+    """Constraint count and wire count must be input-independent — the
+    invariant trusted setup rests on (mirrors the legacy secagg parity
+    test; ADVICE r1 #3)."""
+    params = TinyParams(simple=simple)
+    a = build_structure(params)
+    b = build_circuit(params, _tiny_inputs(params))
+    assert len(a.constraints) == len(b.constraints)
+    assert a.n_wires == b.n_wires

