@@ -1,37 +1,50 @@
-"""Benchmark: reference-size balance proof (Component A) on TPU.
+"""Benchmark: reference-size proving on TPU.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", "extras"}.
 
-Baseline: snarkjs `groth16 prove` for balance_unified(8,3,4) = 4.2 s on the
-reference hardware (Report.pdf Table 3; BASELINE.md).  value = our wall
-time for the same statement (witness -> proof, steady-state: compile
-cached); vs_baseline = baseline / ours (>1 means faster than reference).
+Headline: balance_unified(8,3,4) Groth16 prove (baseline: snarkjs 4.2 s on
+the reference i7-10750H, Report.pdf Table 3).  value = steady-state wall
+time witness->proof through the fused device pipeline; vs_baseline =
+baseline / ours (>1 means faster than the reference).
 
-The proof is verified with the native pairing check before reporting.
+extras (north-star metrics, BASELINE.json / VERDICT r1 item 5):
+  full_round_3clients_s   E2E verifiable FL round, 3 clients x 9 proofs,
+                          binding + aggregation (baseline 43 s, Table 4)
+  witness_ms              balance witness generation (baseline 45 ms)
+  prove_per_client_s      balance+training+secagg prove (baseline 14.1 s)
+  msm_g1_mpoints_s        G1 Pippenger throughput, 4x16384 points, 1 chip
+  msm_g2_mpoints_s        G2 Pippenger throughput, 16384 points, 1 chip
+  poseidon_khashes_s      batched t=3 Poseidon permutations on device
+  ntt_melems_s            radix-2 NTT over Fr, domain 2^14, batch 3
+
+Every proof is verified with the native pairing check before reporting.
+Set ZKFL_BENCH_QUICK=1 to emit only the headline (skips the extra
+compiles).  First run in a fresh process pays XLA+Mosaic compiles (the
+tunneled TPU backend has no persistent executable cache); steady-state
+numbers exclude them.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
-BASELINE_PROVE_S = 4.2  # Report.pdf Table 3, balance circuit
+BASELINE_PROVE_S = 4.2        # Report.pdf Table 3, balance circuit
+BASELINE_ROUND_S = 43.0       # Report.pdf Table 4, 3-client round
+BASELINE_WITNESS_MS = 45.0    # Report.pdf Table 3, balance witness
+BASELINE_CLIENT_PROVE_S = 14.1
 
 
-def _enable_compile_cache():
-    """Persistent XLA compilation cache: first-ever run pays the (remote)
-    compiles; every later bench run starts hot."""
-    import jax
-
-    jax.config.update("jax_compilation_cache_dir", "/root/.cache/zkfl_jax")
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+def log(msg):
+    print(f"# {msg}", file=sys.stderr, flush=True)
 
 
 def main() -> int:
-    _enable_compile_cache()
     t_total = time.time()
+    import numpy as np
+
     from zkfl_tpu.fl.client import Client, SharedLCG
     from zkfl_tpu.fl.config import REFERENCE_CONFIG
     from zkfl_tpu.groth16.engine import JaxEngine
@@ -40,12 +53,13 @@ def main() -> int:
     from zkfl_tpu.groth16.verifier import groth16_verify
     from zkfl_tpu.r1cs.circuits import build_structure, generate_witness
 
+    extras = {}
     cfg = REFERENCE_CONFIG
     cs = build_structure(cfg.balance_params)
     pk, vk = setup_cached(cs, cfg.artifacts_dir)
-    print(f"# setup ready ({time.time()-t_total:.1f}s)", file=sys.stderr)
+    log(f"setup ready ({time.time()-t_total:.1f}s)")
 
-    # Build the canonical client-1 witness (deterministic seeds).
+    # Canonical client-1 witness (deterministic seeds).
     client = Client(1, cfg, None)
     rng = SharedLCG(cfg.seed)
     client.generate_private_dataset(rng)
@@ -59,35 +73,152 @@ def main() -> int:
     }
     t0 = time.time()
     wit = generate_witness(cfg.balance_params, inputs)
-    t_witness = time.time() - t0
-    print(f"# witness {t_witness*1e3:.0f} ms", file=sys.stderr)
+    extras["witness_ms"] = round((time.time() - t0) * 1e3, 1)
+    extras["witness_vs_baseline"] = round(BASELINE_WITNESS_MS / max(extras["witness_ms"], 1e-9), 2)
+    log(f"witness {extras['witness_ms']} ms")
 
     engine = JaxEngine()
-    # Warm-up run compiles every kernel shape (cached for later runs).
     t0 = time.time()
     proof = groth16_prove(pk, cs, wit.witness, engine=engine)
-    t_first = time.time() - t0
-    print(f"# prove (compile+run) {t_first:.1f} s", file=sys.stderr)
+    log(f"prove (compile+run) {time.time()-t0:.1f} s")
     if not groth16_verify(vk, proof):
         print(json.dumps({"metric": "balance_prove", "value": -1,
                           "unit": "s", "vs_baseline": 0,
                           "error": "proof failed verification"}))
         return 1
 
-    # Steady-state timing.
     t0 = time.time()
-    proof = groth16_prove(pk, cs, wit.witness, engine=engine)
-    t_prove = time.time() - t0
+    n_it = 3
+    for _ in range(n_it):
+        proof = groth16_prove(pk, cs, wit.witness, engine=engine)
+    t_prove = (time.time() - t0) / n_it
     assert groth16_verify(vk, proof)
+    log(f"balance prove steady {t_prove:.3f} s")
+
+    if not os.environ.get("ZKFL_BENCH_QUICK"):
+        try:
+            _extras_full(extras, engine, log)
+        except Exception as e:  # pragma: no cover - keep the headline alive
+            log(f"extras failed: {type(e).__name__}: {e}")
+            extras["extras_error"] = f"{type(e).__name__}: {e}"
 
     print(json.dumps({
         "metric": "balance_unified(8,3,4) groth16 prove",
         "value": round(t_prove, 3),
         "unit": "s",
         "vs_baseline": round(BASELINE_PROVE_S / t_prove, 2),
+        "extras": extras,
     }))
     return 0
 
 
+def _extras_full(extras, engine, log):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from zkfl_tpu.fl.config import REFERENCE_CONFIG
+    from zkfl_tpu.fl.prover import RoundProver
+    from zkfl_tpu.fl.simulation import run_round
+
+    # ---- E2E round: 3 clients x (balance + training + secagg) ----------
+    cfg = REFERENCE_CONFIG
+    prover = RoundProver(cfg, engine=engine)
+    log("round prover ready; warming the training/secagg pipelines")
+    _, warm = run_round(cfg, prover=prover, verbose=False)  # compiles
+    log(f"warm-up round total {warm['total']:.1f} s")
+    _, timings = run_round(cfg, prover=prover, verbose=False)
+    extras["full_round_3clients_s"] = round(timings["total"], 2)
+    extras["full_round_vs_baseline"] = round(
+        43.0 / timings["total"], 2
+    )
+    extras["round_phases_s"] = {
+        k: round(v, 3) for k, v in timings.items() if k != "total"
+    }
+    per_client = (
+        timings["balance_proofs"] + timings["training_proofs"]
+        + timings["secagg_proofs"]
+    ) / cfg.num_clients
+    extras["prove_per_client_s"] = round(per_client, 3)
+    extras["prove_per_client_vs_baseline"] = round(14.1 / per_client, 2)
+    log(f"full round {extras['full_round_3clients_s']} s")
+
+    # ---- MSM throughput (north star: Mpoints/s/chip) --------------------
+    from zkfl_tpu.field.bn254 import FR
+    from zkfl_tpu.field.curve import G1_GEN, g1_mul, g2_generator, g2_mul
+    from zkfl_tpu.ops import msm_pallas as mp
+    from zkfl_tpu.ops import point_kernels as pkops
+
+    rng = np.random.RandomState(42)
+    n, m = 16384, 4
+    base = [g1_mul(G1_GEN, 2 + i) for i in range(32)]
+    pd = pkops.g1_to_device([base[i % 32] for i in range(n)])
+    pd4 = jnp.broadcast_to(pd[:, :, None, :], (3, 16, m, n))
+    sc = jnp.asarray(np.stack([
+        mp._pack_scalars([int.from_bytes(rng.bytes(32), "little") for _ in range(n)])
+        for _ in range(m)
+    ]))
+    out = mp.msm_batch_g1(pd4, sc)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    for _ in range(5):
+        out = mp.msm_batch_g1(pd4, sc)
+    jax.block_until_ready(out)
+    extras["msm_g1_mpoints_s"] = round(m * n / ((time.time() - t0) / 5) / 1e6, 2)
+    log(f"msm_g1 {extras['msm_g1_mpoints_s']} Mpoints/s")
+
+    g2b = [g2_mul(g2_generator(), 2 + i) for i in range(8)]
+    p2 = pkops.g2_to_device([g2b[i % 8] for i in range(n)])[:, :, :, None, :]
+    out2 = mp.msm_batch_g2(p2, sc[:1])
+    jax.block_until_ready(out2)
+    t0 = time.time()
+    for _ in range(5):
+        out2 = mp.msm_batch_g2(p2, sc[:1])
+    jax.block_until_ready(out2)
+    extras["msm_g2_mpoints_s"] = round(n / ((time.time() - t0) / 5) / 1e6, 2)
+
+    # ---- Poseidon hashes/s (device batch kernel, t=3, device-resident) ---
+    from zkfl_tpu.field.limbs import FR_FIELD
+    from zkfl_tpu.ops.poseidon import poseidon_hash_device
+
+    n_hash = 1 << 14
+    flat = [(i * 7 + 3) % FR for i in range(2 * n_hash)]
+    limbs = jnp.asarray(FR_FIELD.to_mont(flat).reshape(n_hash, 2, 16))
+    h = poseidon_hash_device(limbs)  # internally jitted per arity
+    jax.block_until_ready(h)
+    t0 = time.time()
+    for _ in range(5):
+        h = poseidon_hash_device(limbs)
+    jax.block_until_ready(h)
+    extras["poseidon_khashes_s"] = round(n_hash / ((time.time() - t0) / 5) / 1e3, 1)
+    log(f"poseidon {extras['poseidon_khashes_s']} khashes/s")
+
+    # ---- NTT throughput ---------------------------------------------------
+    from zkfl_tpu.ops.limb_kernels import FRK
+    from zkfl_tpu.ops.qap_pallas import ntt_lm
+
+    vals = [int.from_bytes(rng.bytes(32), "little") % FR for _ in range(16384)]
+    x = jnp.asarray(FRK.pack(vals)).reshape(16, 1, 16384)
+    x3 = jnp.concatenate([x, x, x], axis=1)
+    f = jax.jit(ntt_lm)
+    y = f(x3)
+    jax.block_until_ready(y)
+    t0 = time.time()
+    for _ in range(10):
+        y = f(x3)
+    jax.block_until_ready(y)
+    extras["ntt_melems_s"] = round(3 * 16384 / ((time.time() - t0) / 10) / 1e6, 2)
+    log(f"ntt {extras['ntt_melems_s']} Melems/s")
+
+
+def _enable_compile_cache():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/zkfl_jax")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
 if __name__ == "__main__":
+    _enable_compile_cache()
     sys.exit(main())

@@ -1,0 +1,107 @@
+"""snarkjs binary artifact formats: byte-level pins + roundtrips.
+
+The G1/G2/field encodings are pinned against INDEPENDENTLY computed
+constants (Montgomery form of the bn128 generator etc.), so a mismatch
+with snarkjs's on-disk layout (src/zkey_utils.js) is falsifiable without a
+node runtime in this environment."""
+
+import struct
+
+import pytest
+
+from zkfl_tpu.field.bn254 import FQ, FR
+from zkfl_tpu.groth16 import binformat as bf
+from zkfl_tpu.groth16.prover import groth16_prove
+from zkfl_tpu.groth16.setup import groth16_setup
+from zkfl_tpu.groth16.verifier import groth16_verify
+from zkfl_tpu.r1cs.builder import ConstraintSystem
+
+
+def _toy():
+    cs = ConstraintSystem(name="bin_toy")
+    out = cs.public_input("out", (3 * 3 * 5 + 3 + 7) % FR)
+    x = cs.private_input("x", 3)
+    y = cs.private_input("y", 5)
+    x2 = cs.mul(x, x)
+    x2y = cs.mul(x2, y)
+    cs.enforce_equal(x2y + x + 7, out)
+    return cs
+
+
+class TestByteLevelPins:
+    def test_g1_generator_montgomery_encoding(self):
+        # (1, 2): x_mont = R mod q, y_mont = 2R mod q, little-endian.
+        R = 1 << 256
+        enc = bf.g1_bytes((1, 2))
+        assert enc[:32] == (R % FQ).to_bytes(32, "little")
+        assert enc[32:] == (2 * R % FQ).to_bytes(32, "little")
+        assert bf.g1_parse(enc) == (1, 2)
+
+    def test_infinity_is_all_zero(self):
+        assert bf.g1_bytes(None) == b"\x00" * 64
+        assert bf.g1_parse(b"\x00" * 64) is None
+        assert bf.g2_bytes(None) == b"\x00" * 128
+
+    def test_container_layout(self):
+        w = bf.BinWriter("zkey")
+        w.section(1, b"\x01\x00\x00\x00")
+        data = w.tobytes()
+        assert data[:4] == b"zkey"
+        version, nsec = struct.unpack_from("<II", data, 4)
+        assert (version, nsec) == (1, 1)
+        stype, size = struct.unpack_from("<IQ", data, 12)
+        assert (stype, size) == (1, 4)
+
+    def test_wtns_header_and_values(self, tmp_path):
+        path = str(tmp_path / "w.wtns")
+        bf.write_wtns(path, [1, 42, FR - 1])
+        raw = open(path, "rb").read()
+        assert raw[:4] == b"wtns"
+        sec = bf.read_binfile(raw, "wtns")
+        assert sec[1][4:36] == FR.to_bytes(32, "little")
+        assert bf.read_wtns(path) == [1, 42, FR - 1]
+
+
+class TestZkeyRoundtrip:
+    @pytest.fixture(scope="class")
+    def artifacts(self, tmp_path_factory):
+        cs = _toy()
+        pk, vk = groth16_setup(cs, seed="bin-seed")
+        path = str(tmp_path_factory.mktemp("zkey") / "toy.zkey")
+        bf.write_zkey(path, pk, vk, cs)
+        return cs, pk, vk, path
+
+    def test_zkey_roundtrip_bitexact(self, artifacts):
+        cs, pk, vk, path = artifacts
+        pk2, vk2, meta = bf.read_zkey(path)
+        assert pk2 == pk
+        assert vk2 == vk
+        assert meta["n_vars"] == cs.n_wires
+        assert meta["h_basis"] == "monomial"
+        # the coefficient table reproduces the R1CS A/B rows
+        for matrix, constraint, signal, value in meta["coeffs"]:
+            row = cs.constraints[constraint][matrix]
+            assert row[signal] % FR == value
+
+    def test_prove_with_reloaded_zkey(self, artifacts):
+        cs, pk, vk, path = artifacts
+        pk2, vk2, _ = bf.read_zkey(path)
+        proof = groth16_prove(pk2, cs)
+        assert groth16_verify(vk2, proof)
+
+
+class TestPtau:
+    def test_ptau_roundtrip_and_consistency(self, tmp_path):
+        from zkfl_tpu.field.curve import g1_generator, g1_mul
+
+        path = str(tmp_path / "dev.ptau")
+        tau, alpha, beta = 7919, 104729, 1299709
+        bf.write_ptau(path, power=3, tau=tau, alpha=alpha, beta=beta)
+        p = bf.read_ptau(path)
+        assert p["power"] == 3
+        assert len(p["tau_g1"]) == 2 * 8 - 1
+        assert len(p["tau_g2"]) == 8
+        g = g1_generator()
+        assert p["tau_g1"][0] == g
+        assert p["tau_g1"][1] == g1_mul(g, tau)
+        assert p["alpha_tau_g1"][2] == g1_mul(g, alpha * tau * tau % FR)

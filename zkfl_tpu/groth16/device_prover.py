@@ -38,30 +38,47 @@ from ..r1cs.builder import ConstraintSystem
 from .setup import ProvingKey
 
 
-@partial(jax.jit, static_argnums=(0,))
-def _prove_msms(cfg, g1_pts, b2_pts, rows, cols, coeffs, w_std):
-    """cfg = (n_pub, m_wires, domain, n_max, wc_g1, wc_g2).
+def _prove_msms_impl(cfg, g1_pts, b2_pts, rows, cols, coeffs, w_std):
+    """cfg = (n_pub, m_wires, domain, n_max, wc_g1, wc_g2, wbits).
 
-    w_std: [16, m] standard-form witness limbs.
-    Returns ([3,16,4] G1 results for A/B1/C/H, [3,2,16,1] G2 result for B2).
+    w_std: [B, 16, m] standard-form witness limbs (B = client batch; the
+    whole pipeline is batched, per-client proofs are independent —
+    full_system_simulation.mjs:1298-1343 semantics).
+    Returns ([3,16,B,4] G1 results A/B1/C/H, [3,2,16,B] G2 results B2).
     """
     n_pub, m, domain, n_max, wc_g1, wc_g2, wbits = cfg
+    B = w_std.shape[0]
 
-    w_mont = FRK.to_mont(w_std)
-    evals = matrix_evals_lm(rows, cols, coeffs, w_mont, domain)  # [16,3,domain]
-    h_std = compute_h_lm(evals)  # [16, domain] standard form
+    w_lm = jnp.moveaxis(w_std, 0, 1)  # [16, B, m]
+    w_mont = FRK.to_mont(w_lm.reshape(16, B * m)).reshape(16, B, m)
+    evals = matrix_evals_lm(rows, cols, coeffs, w_mont, domain)
+    h_std = compute_h_lm(evals)  # [16, B, domain] standard form
 
     def pad(x):
-        return jnp.pad(x, ((0, 0), (0, n_max - x.shape[-1])))
+        return jnp.pad(
+            x, ((0, 0), (0, 0), (0, n_max - x.shape[-1]))
+        )  # [16, B, n_max]
 
-    wit = pad(w_std)
-    priv = pad(w_std[:, n_pub + 1 :])
-    h_sc = pad(h_std[:, : domain - 1])
-    scalars = jnp.stack([wit, wit, priv, h_sc], axis=0)  # [4, 16, n_max]
+    wit = pad(w_lm)
+    priv = pad(w_lm[:, :, n_pub + 1 :])
+    h_sc = pad(h_std[:, :, : domain - 1])
+    # scalar rows ordered (client, family): [B*4, 16, n_max]
+    scalars = jnp.stack([wit, wit, priv, h_sc], axis=2)  # [16, B, 4, n]
+    scalars = jnp.moveaxis(scalars, 0, 2).reshape(B * 4, 16, n_max)
+    fam = jnp.tile(jnp.arange(4, dtype=jnp.int32), B)  # row -> point family
 
-    g1_out = mp._msm_impl(g1_pts, scalars, mp._G1Ops, wc_g1, wbits)
-    g2_out = mp._msm_impl(b2_pts, wit[None], mp._G2Ops, wc_g2, wbits)
-    return g1_out, g2_out
+    g1_out = mp._msm_impl(
+        g1_pts, scalars, mp._G1Ops, wc_g1, wbits, row_map=fam
+    )  # [3, 16, B*4]
+    g2_scalars = jnp.moveaxis(wit, 0, 1).reshape(B, 16, n_max)
+    g2_out = mp._msm_impl(
+        b2_pts, g2_scalars, mp._G2Ops, wc_g2, wbits,
+        row_map=jnp.zeros((B,), jnp.int32),
+    )  # [3, 2, 16, B]
+    return g1_out.reshape(3, 16, B, 4), g2_out
+
+
+_prove_msms = jax.jit(_prove_msms_impl, static_argnums=(0,))
 
 
 class DeviceProver:
@@ -88,7 +105,7 @@ class DeviceProver:
                 pk_ops.g1_to_device(pad_pts(pk.h_query)),
             ],
             axis=2,
-        )  # [3, 16, 4, n_max]
+        )  # [3, 16, 4, n_max]  (one family set, shared by every client row)
         self.b2_pts = pk_ops.g2_to_device(pad_pts(pk.b2_query))[:, :, :, None, :]
         dm = DeviceMatrices(structure.constraints, self.domain)
         self.rows, self.cols, self.coeffs = dm.rows, dm.cols, dm.coeffs
@@ -102,27 +119,71 @@ class DeviceProver:
             mp._auto_wbits(n_max),
         )
 
-    def msm_results(self, witness: Sequence[int]) -> Dict[str, object]:
-        """Run the fused device pipeline; returns host affine MSM results
-        keyed a/b1/c/h (G1) and b2 (G2) — the contract groth16_prove's
-        assembly step expects."""
-        if len(witness) != self.m_wires:
-            raise ValueError(
-                f"witness length {len(witness)} != wires {self.m_wires}"
+    def msm_results_many(
+        self, witnesses: Sequence[Sequence[int]], mesh=None, axis: str = "clients"
+    ) -> list:
+        """Batched fused pipeline over B independent witnesses (client-batch
+        data parallelism, SURVEY §2.4 row 1).  With `mesh`, the client batch
+        shards over `axis` via shard_map — per-client proving is
+        embarrassingly parallel, so no collectives are needed; B must be a
+        multiple of the axis size.  Returns one a/b1/c/h/b2 dict per
+        witness."""
+        B = len(witnesses)
+        for w in witnesses:
+            if len(w) != self.m_wires:
+                raise ValueError(
+                    f"witness length {len(w)} != wires {self.m_wires}"
+                )
+        w_std = np.stack(
+            [np.asarray(FRK.pack(list(w), mont=False)) for w in witnesses]
+        )  # [B, 16, m]
+
+        def cfg_for(batch):
+            n_pub, m, domain, n_max, _, _, wbits = self.cfg
+            return (
+                n_pub, m, domain, n_max,
+                mp._auto_chunk(4 * batch, n_max, False),
+                mp._auto_chunk(batch, n_max, True),
+                wbits,
             )
-        w_std = jnp.asarray(FRK.pack(list(witness), mont=False))
-        g1_out, g2_out = _prove_msms(
-            self.cfg, self.g1_pts, self.b2_pts, self.rows, self.cols,
-            self.coeffs, w_std,
-        )
-        g1_np = np.asarray(g1_out)
-        return {
-            "a": pk_ops.g1_from_device(g1_np[:, :, 0]),
-            "b1": pk_ops.g1_from_device(g1_np[:, :, 1]),
-            "c": pk_ops.g1_from_device(g1_np[:, :, 2]),
-            "h": pk_ops.g1_from_device(g1_np[:, :, 3]),
-            "b2": pk_ops.g2_from_device(np.asarray(g2_out)[:, :, :, 0]),
-        }
+
+        if mesh is None:
+            g1_out, g2_out = _prove_msms(
+                cfg_for(B), self.g1_pts, self.b2_pts, self.rows, self.cols,
+                self.coeffs, jnp.asarray(w_std),
+            )
+        else:
+            from jax.sharding import PartitionSpec as P
+
+            cfg = cfg_for(B // mesh.shape[axis])
+            fn = jax.shard_map(
+                lambda g1, b2, r, c, co, w: _prove_msms_impl(cfg, g1, b2, r, c, co, w),
+                mesh=mesh,
+                in_specs=(P(), P(), P(), P(), P(), P(axis)),
+                out_specs=(P(None, None, axis), P(None, None, None, axis)),
+                check_vma=False,  # zeros-init fori carries meet varying updates
+            )
+            g1_out, g2_out = jax.jit(fn)(
+                self.g1_pts, self.b2_pts, self.rows, self.cols,
+                self.coeffs, jnp.asarray(w_std),
+            )
+
+        g1_np = np.asarray(g1_out)   # [3, 16, B, 4]
+        g2_np = np.asarray(g2_out)   # [3, 2, 16, B]
+        out = []
+        for b in range(B):
+            out.append({
+                "a": pk_ops.g1_from_device(g1_np[:, :, b, 0]),
+                "b1": pk_ops.g1_from_device(g1_np[:, :, b, 1]),
+                "c": pk_ops.g1_from_device(g1_np[:, :, b, 2]),
+                "h": pk_ops.g1_from_device(g1_np[:, :, b, 3]),
+                "b2": pk_ops.g2_from_device(g2_np[:, :, :, b]),
+            })
+        return out
+
+    def msm_results(self, witness: Sequence[int]) -> Dict[str, object]:
+        """Single-witness fused pipeline (batch of one)."""
+        return self.msm_results_many([witness])[0]
 
 
 _prover_cache: Dict[Tuple[int, int], DeviceProver] = {}

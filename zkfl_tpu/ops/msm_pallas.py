@@ -106,11 +106,15 @@ def _fold_sum(pts, ops):
     return out[..., 0]
 
 
-def _window_sums(points_flat, digits, ops, nb: int = N_BUCKETS):
+def _window_sums(points_flat, digits, ops, nb: int = N_BUCKETS,
+                 row_map=None):
     """Bucket-accumulate all windows at once.
 
-    points_flat: [3, (2,), 16, m*n] limb-major points (Montgomery).
+    points_flat: [3, (2,), 16, m_pts*n] limb-major points (Montgomery).
     digits: [m, W, n] int32 in [0, nb); n is a multiple of SERIAL.
+    row_map: optional [m] int32 mapping scalar row -> point row (several
+    scalar rows may share one point family, e.g. client-batched proving);
+    defaults to the identity.
     Returns [3, (2,), 16, m, W] window sums."""
     m, W, n = digits.shape
     lead = points_flat.shape[: ops.coord_dims + 1]  # (3, [2,] 16)
@@ -119,6 +123,8 @@ def _window_sums(points_flat, digits, ops, nb: int = N_BUCKETS):
     # 1. sort each (msm, window) row by digit, descending.
     perm = jnp.argsort(digits, axis=-1, descending=True)  # [m, W, n]
     row = jax.lax.broadcasted_iota(jnp.int32, (m, W, n), 0)
+    if row_map is not None:
+        row = row_map[row]
     flat_idx = (row * n + perm).reshape(m * W * n)
     sorted_pts = jnp.take(points_flat, flat_idx, axis=-1).reshape(
         lead + (m, W, R, SERIAL)
@@ -191,50 +197,62 @@ def _window_sums(points_flat, digits, ops, nb: int = N_BUCKETS):
     return _fold_sum(T, ops)  # [3, (2,), 16, m, W]
 
 
-def _msm_impl(points, scalars, ops, window_chunk: int = 0,
-              wbits: int = WINDOW_BITS):
-    """points [3,(2,),16,m,n], scalars [m,16,n] std-form -> [3,(2,),16,m]."""
+def _all_window_sums(points, scalars, ops, window_chunk: int = 0,
+                     wbits: int = WINDOW_BITS, row_map=None):
+    """All window sums: points [3,(2,),16,m_pts,n], scalars [m,16,n] ->
+    [3,(2,),16,m,nw].  `row_map` [m] maps scalar rows to point rows
+    (identity when None; m_pts == m then)."""
     m, _, n = scalars.shape
+    m_pts = points.shape[ops.coord_dims + 1]
     nw = 256 // wbits
     lead = points.shape[: ops.coord_dims + 1]
     if n % SERIAL:
         pad = SERIAL - n % SERIAL
-        points = jnp.concatenate([points, ops.inf((m, pad))], axis=-1)
+        points = jnp.concatenate([points, ops.inf((m_pts, pad))], axis=-1)
         scalars = jnp.pad(scalars, ((0, 0), (0, 0), (0, pad)))
         n += pad
-    points_flat = points.reshape(lead + (m * n,))
+    points_flat = points.reshape(lead + (m_pts * n,))
     digits = _digits(scalars, wbits)  # [m, nw, n]
 
     C = window_chunk or nw
     if C >= nw:
-        S = _window_sums(points_flat, digits, ops, 1 << wbits)
-    else:
-        # bound the sorted-points working set: fori over window chunks,
-        # every add site still traced exactly once.
-        S0 = jnp.zeros(lead + (m, nw), dtype=jnp.uint32)
+        return _window_sums(points_flat, digits, ops, 1 << wbits, row_map)
+    # bound the sorted-points working set: fori over window chunks,
+    # every add site still traced exactly once.
+    S0 = jnp.zeros(lead + (m, nw), dtype=jnp.uint32)
 
-        def chunk_body(c, S):
-            dchunk = jax.lax.dynamic_slice(
-                digits, (0, c * C, 0), (m, C, n)
-            )
-            s = _window_sums(points_flat, dchunk, ops, 1 << wbits)
-            return jax.lax.dynamic_update_slice(
-                S, s, (0,) * (len(lead) + 1) + (c * C,)
-            )
+    def chunk_body(c, S):
+        dchunk = jax.lax.dynamic_slice(digits, (0, c * C, 0), (m, C, n))
+        s = _window_sums(points_flat, dchunk, ops, 1 << wbits, row_map)
+        return jax.lax.dynamic_update_slice(
+            S, s, (0,) * (len(lead) + 1) + (c * C,)
+        )
 
-        S = jax.lax.fori_loop(0, nw // C, chunk_body, S0)
+    return jax.lax.fori_loop(0, nw // C, chunk_body, S0)
 
-    # Horner over windows, MSB first: acc = 2^wbits * acc + S_w.
+
+def _horner(S, ops, wbits: int = WINDOW_BITS):
+    """Combine window sums S [3,(2,),16,m,nw] -> [3,(2,),16,m] via the
+    Horner ladder acc = 2^wbits * acc + S_w, MSB first."""
+    nw = S.shape[-1]
     acc = S[..., nw - 1]
 
     def horner_body(i, acc):
         w = nw - 2 - i
-        # inner fori so the doubling kernel is ONE call site, not 8
+        # inner fori so the doubling kernel is ONE call site, not `wbits`
         acc = jax.lax.fori_loop(0, wbits, lambda _, a: ops.pdbl(a), acc)
         s_w = jax.lax.dynamic_slice_in_dim(S, w, 1, axis=-1)[..., 0]
         return ops.padd(acc, s_w)
 
     return jax.lax.fori_loop(0, nw - 1, horner_body, acc)
+
+
+def _msm_impl(points, scalars, ops, window_chunk: int = 0,
+              wbits: int = WINDOW_BITS, row_map=None):
+    """points [3,(2,),16,m_pts,n], scalars [m,16,n] std-form ->
+    [3,(2,),16,m]."""
+    S = _all_window_sums(points, scalars, ops, window_chunk, wbits, row_map)
+    return _horner(S, ops, wbits)
 
 
 def _auto_wbits(n: int) -> int:

@@ -39,7 +39,7 @@ def _stage_twiddles(n: int, inverse: bool):
         for _ in range(half):
             ws.append(w)
             w = w * w_len % FR
-        stages.append(jnp.asarray(FRK.pack(ws)))
+        stages.append(FRK.pack(ws))  # numpy: safe to cache across traces
         length <<= 1
     return stages
 
@@ -50,7 +50,7 @@ def _bitrev_idx(n: int):
     idx = np.zeros(n, dtype=np.int32)
     for i in range(n):
         idx[int(format(i, f"0{bits}b")[::-1], 2)] = i
-    return jnp.asarray(idx)
+    return idx  # numpy: jnp constants cached across traces leak tracers
 
 
 @lru_cache(maxsize=32)
@@ -61,7 +61,7 @@ def _coset_powers(n: int, inverse: bool):
     for _ in range(n):
         out.append(acc)
         acc = acc * s % FR
-    return jnp.asarray(FRK.pack(out))  # [16, n] Montgomery
+    return FRK.pack(out)  # numpy [16, n] Montgomery (trace-safe to cache)
 
 
 def ntt_lm(x: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
@@ -97,28 +97,34 @@ def ntt_lm(x: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
 
 
 def compute_h_lm(evals: jnp.ndarray) -> jnp.ndarray:
-    """evals [16, 3, n] Montgomery (A.s, B.s, C.s on the domain) ->
-    h(X) coefficients [16, n] in STANDARD form (ready for MSM digits).
+    """evals [16, B, 3, n] Montgomery (A.s, B.s, C.s on the domain, per
+    batched proof) -> h(X) coefficients [16, B, n] in STANDARD form (ready
+    for MSM digits).
 
     Coset trick exactly as qap.compute_h_coeffs: on g<omega> the vanishing
     polynomial is the constant g^n - 1, so the division is one fused
     (a*b - c) * z_inv kernel."""
-    _, _, n = evals.shape
-    coeffs = ntt_lm(evals, inverse=True)  # [16, 3, n]
+    _, B, _, n = evals.shape
+    coeffs = ntt_lm(evals.reshape(N_LIMBS, 3 * B, n), inverse=True)
     cp = _coset_powers(n, False)
     shifted = FRK.mont_mul(
         coeffs.reshape(N_LIMBS, -1),
-        jnp.tile(cp, (1, 3)),
-    ).reshape(N_LIMBS, 3, n)
-    on_coset = ntt_lm(shifted)
+        jnp.tile(cp, (1, 3 * B)),
+    ).reshape(N_LIMBS, 3 * B, n)
+    on_coset = ntt_lm(shifted).reshape(N_LIMBS, B, 3, n)
     z_inv = fr_inv((pow(FR_GENERATOR, n, FR) - 1) % FR)
     z_inv_mont = z_inv * FRK.mont_r % FR
     h_s = FRK.mul_sub_mul_const(
-        on_coset[:, 0], on_coset[:, 1], on_coset[:, 2], z_inv_mont
+        on_coset[:, :, 0].reshape(N_LIMBS, -1),
+        on_coset[:, :, 1].reshape(N_LIMBS, -1),
+        on_coset[:, :, 2].reshape(N_LIMBS, -1),
+        z_inv_mont,
+    ).reshape(N_LIMBS, B, n)
+    h_c = ntt_lm(h_s, inverse=True)
+    h_c = FRK.mont_mul(
+        h_c.reshape(N_LIMBS, -1), jnp.tile(_coset_powers(n, True), (1, B))
     )
-    h_c = ntt_lm(h_s[:, None, :], inverse=True)[:, 0]
-    h_c = FRK.mont_mul(h_c, _coset_powers(n, True))
-    return FRK.from_mont(h_c)
+    return FRK.from_mont(h_c).reshape(N_LIMBS, B, n)
 
 
 class DeviceMatrices:
@@ -142,13 +148,23 @@ class DeviceMatrices:
 
 
 def matrix_evals_lm(rows, cols, coeffs, w_mont, domain: int) -> jnp.ndarray:
-    """Sparse (A.s, B.s, C.s): w_mont [16, m] -> [16, 3, domain] Montgomery.
+    """Sparse (A.s, B.s, C.s): w_mont [16, B, m] -> [16, B, 3, domain]
+    Montgomery (B = client/proof batch).
 
     gather -> fused mont_mul -> one segment_sum of 16-bit limbs (each row
     sum < nnz_row * 2^16 < 2^31) -> fused carry + Montgomery re-reduction."""
-    terms = FRK.mont_mul(jnp.take(w_mont, cols, axis=-1), coeffs)  # [16, nnz]
+    _, B, m = w_mont.shape
+    nnz = cols.shape[0]
+    w_flat = w_mont.reshape(N_LIMBS, B * m)
+    idx = (jnp.arange(B, dtype=jnp.int32)[:, None] * m + cols[None, :]).reshape(-1)
+    terms = FRK.mont_mul(
+        jnp.take(w_flat, idx, axis=-1), jnp.tile(coeffs, (1, B))
+    )  # [16, B*nnz]
+    seg = (
+        jnp.arange(B, dtype=jnp.int32)[:, None] * (3 * domain) + rows[None, :]
+    ).reshape(-1)
     sums = jax.ops.segment_sum(
-        terms.T, rows, num_segments=3 * domain
-    )  # [3*domain, 16]
-    out = FRK.normalize_raw(sums.T)  # [16, 3*domain]
-    return out.reshape(N_LIMBS, 3, domain)
+        terms.T, seg, num_segments=B * 3 * domain
+    )  # [B*3*domain, 16]
+    out = FRK.normalize_raw(sums.T)  # [16, B*3*domain]
+    return out.reshape(N_LIMBS, B, 3, domain)
