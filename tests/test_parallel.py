@@ -51,3 +51,24 @@ def test_graft_dryrun_multichip():
     import __graft_entry__ as graft
 
     graft.dryrun_multichip(8)
+
+
+def test_sharded_ntt_matches_oracle(mesh8):
+    """4-step sharded NTT over the 8-device mesh == pure-Python qap.ntt."""
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from zkfl_tpu.groth16.qap import ntt
+    from zkfl_tpu.ops.limb_kernels import FRK
+    from zkfl_tpu.parallel.ntt import ntt_sharded
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("tp",))
+    n = 256
+    vals = [rng.randrange(FR) for _ in range(n)]
+    x = jnp.asarray(FRK.pack(vals)).reshape(16, 1, n)
+    got = FRK.unpack(np.asarray(ntt_sharded(x, mesh))[:, 0, :])
+    assert got == ntt(vals)
+    got_inv = FRK.unpack(
+        np.asarray(ntt_sharded(x, mesh, inverse=True))[:, 0, :]
+    )
+    assert got_inv == ntt(vals, inverse=True)
