@@ -21,6 +21,7 @@ Bit-exactness is pinned by tests/test_device_prover.py.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
 from functools import partial
 from typing import Dict, Optional, Sequence, Tuple
 
@@ -38,16 +39,48 @@ from ..r1cs.builder import ConstraintSystem
 from .setup import ProvingKey
 
 
-def _prove_msms_impl(cfg, g1_pts, b2_pts, rows, cols, coeffs, w_std):
-    """cfg = (n_pub, m_wires, domain, n_max, wc_g1, wc_g2, wbits).
+@dataclass(frozen=True)
+class PipelineProfile:
+    """Canonical pipeline shape shared by several circuits.
+
+    Padding every circuit of a protocol round to one (wires, domain, nnz)
+    triple makes the fused prove pipeline compile ONCE for all of them —
+    the reference pays per-circuit snarkjs key loads instead
+    (full_system_simulation.mjs:698-739).  Requires setups built with
+    `groth16_setup(..., domain=profile.domain)`.
+    """
+
+    m_pad: int    # padded wire count (>= every circuit's n_wires)
+    domain: int   # shared NTT/setup domain (power of two)
+    nnz_pad: int  # padded COO length of the R1CS matrices
+
+    @staticmethod
+    def cover(structures: Sequence[ConstraintSystem]) -> "PipelineProfile":
+        """Smallest profile covering every given circuit structure."""
+        from ..field.bn254 import domain_size_for
+
+        m_pad = max(cs.n_wires for cs in structures)
+        domain = max(
+            domain_size_for(len(cs.constraints) + 1) for cs in structures
+        )
+        nnz = max(
+            sum(len(abc[k]) for abc in cs.constraints for k in range(3))
+            for cs in structures
+        )
+        return PipelineProfile(m_pad=m_pad, domain=domain, nnz_pad=nnz)
+
+
+def _prove_msms_impl(cfg, n_pub, g1_pts, b2_pts, rows, cols, coeffs, w_std):
+    """cfg = (domain, n_max, wc_g1, wc_g2, wbits); n_pub is a traced scalar
+    so circuits sharing a PipelineProfile share ONE compiled program.
 
     w_std: [B, 16, m] standard-form witness limbs (B = client batch; the
     whole pipeline is batched, per-client proofs are independent —
     full_system_simulation.mjs:1298-1343 semantics).
-    Returns ([3,16,B,4] G1 results A/B1/C/H, [3,2,16,B] G2 results B2).
+    Returns ([3,16,B,4] G1 results A/B1/C/H, [3,2,16,B] B2 results).
     """
-    n_pub, m, domain, n_max, wc_g1, wc_g2, wbits = cfg
-    B = w_std.shape[0]
+    domain, n_max, wc_g1, wc_g2, wbits = cfg
+    B, _, m = w_std.shape
 
     w_lm = jnp.moveaxis(w_std, 0, 1)  # [16, B, m]
     w_mont = FRK.to_mont(w_lm.reshape(16, B * m)).reshape(16, B, m)
@@ -60,7 +93,11 @@ def _prove_msms_impl(cfg, g1_pts, b2_pts, rows, cols, coeffs, w_std):
         )  # [16, B, n_max]
 
     wit = pad(w_lm)
-    priv = pad(w_lm[:, :, n_pub + 1 :])
+    # private-wire scalars stay wire-aligned (c_query is uploaded with
+    # n_pub+1 identity points in front); public positions mask to zero,
+    # which contributes nothing to the MSM.
+    wire = jax.lax.broadcasted_iota(jnp.int32, w_lm.shape, 2)
+    priv = pad(jnp.where(wire > n_pub, w_lm, 0))
     h_sc = pad(h_std[:, :, : domain - 1])
     # scalar rows ordered (client, family): [B*4, 16, n_max]
     scalars = jnp.stack([wit, wit, priv, h_sc], axis=2)  # [16, B, 4, n]
@@ -82,36 +119,58 @@ _prove_msms = jax.jit(_prove_msms_impl, static_argnums=(0,))
 
 
 class DeviceProver:
-    """Per-circuit device proving context (proving key resident on device)."""
+    """Per-circuit device proving context (proving key resident on device).
 
-    def __init__(self, pk: ProvingKey, structure: ConstraintSystem):
+    With a `PipelineProfile`, point queries / witness / COO matrices pad to
+    the profile's canonical shapes, so every circuit sharing the profile
+    reuses one compiled fused pipeline (pk.domain must equal
+    profile.domain — build setups with that domain override)."""
+
+    def __init__(
+        self,
+        pk: ProvingKey,
+        structure: ConstraintSystem,
+        profile: Optional[PipelineProfile] = None,
+    ):
         if not structure.constraints:
             raise ValueError("DeviceProver needs the structure-mode CS")
+        if profile is not None and pk.domain != profile.domain:
+            raise ValueError(
+                f"setup domain {pk.domain} != profile domain {profile.domain}"
+                " (pass domain=profile.domain to groth16_setup)"
+            )
         self.pk = pk
         self.n_pub = pk.n_pub
         self.m_wires = structure.n_wires
+        self.m_pad = profile.m_pad if profile else structure.n_wires
+        if self.m_pad < self.m_wires:
+            raise ValueError(f"profile m_pad {self.m_pad} < wires {self.m_wires}")
         self.domain = pk.domain
-        n_max = max(self.m_wires, self.domain - 1)
+        n_max = max(self.m_pad, self.domain - 1)
         self.n_max = n_max
 
-        def pad_pts(pts):
-            return list(pts) + [None] * (n_max - len(pts))
+        def pad_pts(pts, lead=0):
+            out = [None] * lead + list(pts)
+            return out + [None] * (n_max - len(out))
 
         self.g1_pts = jnp.stack(
             [
                 pk_ops.g1_to_device(pad_pts(pk.a_query)),
                 pk_ops.g1_to_device(pad_pts(pk.b1_query)),
-                pk_ops.g1_to_device(pad_pts(pk.c_query)),
+                # wire-aligned: scalar i multiplies the C point of wire i
+                pk_ops.g1_to_device(pad_pts(pk.c_query, lead=pk.n_pub + 1)),
                 pk_ops.g1_to_device(pad_pts(pk.h_query)),
             ],
             axis=2,
         )  # [3, 16, 4, n_max]  (one family set, shared by every client row)
         self.b2_pts = pk_ops.g2_to_device(pad_pts(pk.b2_query))[:, :, :, None, :]
-        dm = DeviceMatrices(structure.constraints, self.domain)
+        dm = DeviceMatrices(
+            structure.constraints,
+            self.domain,
+            nnz_pad=profile.nnz_pad if profile else None,
+        )
         self.rows, self.cols, self.coeffs = dm.rows, dm.cols, dm.coeffs
         self.cfg = (
-            self.n_pub,
-            self.m_wires,
             self.domain,
             n_max,
             mp._auto_chunk(4, n_max, False),
@@ -134,14 +193,16 @@ class DeviceProver:
                 raise ValueError(
                     f"witness length {len(w)} != wires {self.m_wires}"
                 )
-        w_std = np.stack(
-            [np.asarray(FRK.pack(list(w), mont=False)) for w in witnesses]
-        )  # [B, 16, m]
+        w_std = np.zeros((B, 16, self.m_pad), dtype=np.uint32)
+        for b, w in enumerate(witnesses):
+            w_std[b, :, : self.m_wires] = FRK.pack(list(w), mont=False)
+
+        n_pub = jnp.int32(self.n_pub)
 
         def cfg_for(batch):
-            n_pub, m, domain, n_max, _, _, wbits = self.cfg
+            domain, n_max, _, _, wbits = self.cfg
             return (
-                n_pub, m, domain, n_max,
+                domain, n_max,
                 mp._auto_chunk(4 * batch, n_max, False),
                 mp._auto_chunk(batch, n_max, True),
                 wbits,
@@ -149,22 +210,24 @@ class DeviceProver:
 
         if mesh is None:
             g1_out, g2_out = _prove_msms(
-                cfg_for(B), self.g1_pts, self.b2_pts, self.rows, self.cols,
-                self.coeffs, jnp.asarray(w_std),
+                cfg_for(B), n_pub, self.g1_pts, self.b2_pts, self.rows,
+                self.cols, self.coeffs, jnp.asarray(w_std),
             )
         else:
             from jax.sharding import PartitionSpec as P
 
             cfg = cfg_for(B // mesh.shape[axis])
             fn = jax.shard_map(
-                lambda g1, b2, r, c, co, w: _prove_msms_impl(cfg, g1, b2, r, c, co, w),
+                lambda np_, g1, b2, r, c, co, w: _prove_msms_impl(
+                    cfg, np_, g1, b2, r, c, co, w
+                ),
                 mesh=mesh,
-                in_specs=(P(), P(), P(), P(), P(), P(axis)),
+                in_specs=(P(), P(), P(), P(), P(), P(), P(axis)),
                 out_specs=(P(None, None, axis), P(None, None, None, axis)),
                 check_vma=False,  # zeros-init fori carries meet varying updates
             )
             g1_out, g2_out = jax.jit(fn)(
-                self.g1_pts, self.b2_pts, self.rows, self.cols,
+                n_pub, self.g1_pts, self.b2_pts, self.rows, self.cols,
                 self.coeffs, jnp.asarray(w_std),
             )
 
@@ -186,13 +249,17 @@ class DeviceProver:
         return self.msm_results_many([witness])[0]
 
 
-_prover_cache: Dict[Tuple[int, int], DeviceProver] = {}
+_prover_cache: Dict[tuple, DeviceProver] = {}
 
 
-def device_prover(pk: ProvingKey, structure: ConstraintSystem) -> DeviceProver:
-    key = (id(pk), id(structure))
+def device_prover(
+    pk: ProvingKey,
+    structure: ConstraintSystem,
+    profile: Optional[PipelineProfile] = None,
+) -> DeviceProver:
+    key = (id(pk), id(structure), profile)
     prover = _prover_cache.get(key)
     if prover is None:
-        prover = DeviceProver(pk, structure)
+        prover = DeviceProver(pk, structure, profile)
         _prover_cache[key] = prover
     return prover

@@ -58,14 +58,17 @@ class JaxEngine:
 
     name = "jax"
 
-    def __init__(self):
+    def __init__(self, profile=None):
+        """`profile` (device_prover.PipelineProfile) pads every circuit
+        proved through this engine to one canonical shape so they share a
+        single compiled pipeline; None keeps per-circuit native shapes."""
         self._sparse_cache: Dict[int, SparseMatrices] = {}
+        self.profile = profile
 
-    @staticmethod
-    def fused_msms(pk, structure, witness):
+    def fused_msms(self, pk, structure, witness):
         from .device_prover import device_prover
 
-        return device_prover(pk, structure).msm_results(witness)
+        return device_prover(pk, structure, self.profile).msm_results(witness)
 
     @staticmethod
     def msm_g1(points, scalars):

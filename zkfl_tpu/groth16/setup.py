@@ -143,14 +143,26 @@ def wire_evals(cs: ConstraintSystem, tau: int, domain: int):
 
 
 def groth16_setup(
-    cs: ConstraintSystem, seed: str = "zkfl-dev", device: bool = True
+    cs: ConstraintSystem,
+    seed: str = "zkfl-dev",
+    device: bool = True,
+    domain: Optional[int] = None,
 ) -> Tuple[ProvingKey, VerifyingKey]:
     """Phase-1+2 setup.  `device=True` (default) runs every fixed-base
     encryption batch through the Pallas table-lookup kernels
     (groth16/device_setup.py — one gather + 5 fused-add levels per batch);
-    `device=False` keeps the pure-Python ladder as oracle."""
+    `device=False` keeps the pure-Python ladder as oracle.
+
+    `domain` overrides the evaluation-domain size (must be a power of two
+    >= the natural size).  A Groth16 QAP over a larger domain is equally
+    valid (the extra interpolation points carry zero rows); sharing one
+    domain across circuits lets the device prover reuse ONE compiled
+    pipeline for all of them (groth16/device_prover.PipelineProfile)."""
     tau, alpha, beta, gamma, delta = _toxic_waste(seed)
-    domain = domain_size_for(len(cs.constraints) + 1)
+    natural = domain_size_for(len(cs.constraints) + 1)
+    domain = domain or natural
+    if domain < natural or domain & (domain - 1):
+        raise ValueError(f"domain {domain} invalid (natural {natural})")
     m = cs.n_wires
     n_pub = cs.n_pub
 
@@ -238,17 +250,23 @@ def groth16_setup(
 # (full_system_simulation.mjs:698-739: compile/setup skipped when cached).
 # ---------------------------------------------------------------------------
 
-def setup_cached(cs: ConstraintSystem, cache_dir: str, seed: str = "zkfl-dev"):
+def setup_cached(
+    cs: ConstraintSystem,
+    cache_dir: str,
+    seed: str = "zkfl-dev",
+    domain: Optional[int] = None,
+):
     cache = Path(cache_dir)
     cache.mkdir(parents=True, exist_ok=True)
     fingerprint = hashlib.sha256(
-        f"{cs.name}|{len(cs.constraints)}|{cs.n_wires}|{cs.n_pub}|{seed}".encode()
+        f"{cs.name}|{len(cs.constraints)}|{cs.n_wires}|{cs.n_pub}|{seed}"
+        f"|{domain or 0}".encode()
     ).hexdigest()[:16]
     path = cache / f"{cs.name}_{fingerprint}.zkey.pkl"
     if path.exists():
         with open(path, "rb") as f:
             return pickle.load(f)
-    keys = groth16_setup(cs, seed)
+    keys = groth16_setup(cs, seed, domain=domain)
     with open(path, "wb") as f:
         pickle.dump(keys, f)
     return keys

@@ -34,6 +34,12 @@ from ..field.limbs import LIMB_BITS, LIMB_MASK, N_LIMBS, R, int_to_limbs
 
 MAX_BLK = 4096  # lanes per grid step (VMEM footprint ~ a few MB)
 
+# (field, kernel, n_in, n_out, padded lanes, consts) -> jitted pallas call.
+# Tracing an unrolled schoolbook kernel body costs seconds; this cache makes
+# every call site with the same kernel + power-of-two lane count replay one
+# traced jaxpr instead (see PallasField._pad / _cached).
+_KERNEL_CACHE: dict = {}
+
 
 @functools.lru_cache(maxsize=1)
 def _interpret() -> bool:
@@ -336,22 +342,46 @@ class PallasField:
         return fn(*args)
 
     def _pad(self, x):
+        """Pad lanes to a power of two (>= 128).  Power-of-two quantisation
+        makes distinct call sites share a padded lane count, which is what
+        lets `_cached` reuse one traced jaxpr per (kernel, L): the unrolled
+        schoolbook kernel bodies are ~2k-30k traced ops, so RE-tracing them
+        at every call site dominated whole-program compile time (round-2
+        bench: 112 s of the G1 MSM's 125 s jit cost was tracing)."""
         L = x.shape[-1]
-        blk = self._blk(L)
-        Lp = -(-L // blk) * blk
+        Lp = 128
+        while Lp < L:
+            Lp *= 2
         if Lp == L:
             return x, L
         pad = [(0, 0)] * (x.ndim - 1) + [(0, Lp - L)]
         return jnp.pad(x, pad), L
 
-    def _wrap(self, kernel, n_in):
+    def _cached(self, name, kernel, n_in: int, n_out: int, Lp: int, extra=()):
+        """One traced+jitted callable per (field, kernel, padded lane count).
+
+        Call sites that share a kernel and a power-of-two lane count reuse
+        the cached pjit jaxpr instead of re-tracing the kernel body."""
+        key = (self.name, name, n_in, n_out, Lp, extra)
+        fn = _KERNEL_CACHE.get(key)
+        if fn is None:
+            fn = jax.jit(
+                lambda *args: self._call(kernel, n_in, n_out, *args)
+            )
+            _KERNEL_CACHE[key] = fn
+        return fn
+
+    def _wrap(self, kernel, n_in, name=None, extra=()):
+        kname = name or getattr(kernel, "__name__", repr(kernel))
+
         def fn(*args):
             padded = []
             L0 = args[0].shape[-1]
             for a in args:
                 ap, _ = self._pad(a)
                 padded.append(ap)
-            out = self._call(kernel, n_in, 1, *padded)
+            Lp = padded[0].shape[-1]
+            out = self._cached(kname, kernel, n_in, 1, Lp, extra)(*padded)
             return out[..., :L0]
 
         return fn
@@ -360,32 +390,32 @@ class PallasField:
     def mont_mul(self, a, b):
         if _interpret():
             return _ll2lm(self._lf.mont_mul(_lm2ll(a), _lm2ll(b)))
-        return self._wrap(self._k_mont_mul, 2)(a, b)
+        return self._wrap(self._k_mont_mul, 2, "mont_mul")(a, b)
 
     def mont_sqr(self, a):
         if _interpret():
             return _ll2lm(self._lf.mont_square(_lm2ll(a)))
-        return self._wrap(self._k_mont_sqr, 1)(a)
+        return self._wrap(self._k_mont_sqr, 1, "mont_sqr")(a)
 
     def add(self, a, b):
         if _interpret():
             return _ll2lm(self._lf.add(_lm2ll(a), _lm2ll(b)))
-        return self._wrap(self._k_add, 2)(a, b)
+        return self._wrap(self._k_add, 2, "add")(a, b)
 
     def sub(self, a, b):
         if _interpret():
             return _ll2lm(self._lf.sub(_lm2ll(a), _lm2ll(b)))
-        return self._wrap(self._k_sub, 2)(a, b)
+        return self._wrap(self._k_sub, 2, "sub")(a, b)
 
     def from_mont(self, a):
         if _interpret():
             return _ll2lm(self._lf.from_mont_device(_lm2ll(a)))
-        return self._wrap(self._k_from_mont, 1)(a)
+        return self._wrap(self._k_from_mont, 1, "from_mont")(a)
 
     def to_mont(self, a):
         if _interpret():
             return _ll2lm(self._lf.to_mont_device(_lm2ll(a)))
-        return self._wrap(self._k_to_mont, 1)(a)
+        return self._wrap(self._k_to_mont, 1, "to_mont")(a)
 
     def normalize_raw(self, a):
         """Raw column sums of Montgomery terms -> canonical Montgomery."""
@@ -402,7 +432,7 @@ class PallasField:
             )
             red = lf.mont_reduce(padded)
             return _ll2lm(lf.mont_mul(red, jnp.broadcast_to(lf.R2, red.shape)))
-        return self._wrap(self._k_normalize_raw, 1)(a)
+        return self._wrap(self._k_normalize_raw, 1, "normalize_raw")(a)
 
     def butterfly(self, u, v, tw):
         """Returns (u + v*tw, u - v*tw) mod p."""
@@ -415,7 +445,9 @@ class PallasField:
         up, _ = self._pad(u)
         vp, _ = self._pad(v)
         twp, _ = self._pad(tw)
-        hi, lo = self._call(self._k_butterfly, 3, 2, up, vp, twp)
+        hi, lo = self._cached("butterfly", self._k_butterfly, 3, 2, up.shape[-1])(
+            up, vp, twp
+        )
         return hi[..., :L0], lo[..., :L0]
 
     def mul_sub_mul_const(self, a, b, c, const: int):
@@ -434,7 +466,9 @@ class PallasField:
         ap, _ = self._pad(a)
         bp, _ = self._pad(b)
         cp, _ = self._pad(c)
-        return self._call(kern, 3, 1, ap, bp, cp)[..., :L0]
+        return self._cached(
+            "mul_sub_mul_const", kern, 3, 1, ap.shape[-1], extra=cl
+        )(ap, bp, cp)[..., :L0]
 
     def mont_mul_const(self, a, const: int):
         """a * const * R^-1 mod p (const given in the form that makes the
@@ -447,7 +481,7 @@ class PallasField:
         def kern(a_ref, o_ref):
             _write(o_ref, _emit_mont_mul_const(_read(a_ref), cl, self._PL, self._NPL))
 
-        return self._wrap(kern, 1)(a)
+        return self._wrap(kern, 1, "mont_mul_const", extra=cl)(a)
 
     # -- host/layout converters --------------------------------------------
     def pack(self, xs, mont: bool = True) -> np.ndarray:

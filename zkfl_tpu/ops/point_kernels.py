@@ -137,36 +137,50 @@ def _flatten_lanes(x, coord_dims: int):
     return flat, unflatten
 
 
-def _pad_lanes(x, blk):
+def _pad_lanes(x):
+    """Pad lanes to a power of two >= 128 (shared with limb_kernels._pad:
+    the quantisation is what lets call sites share one traced kernel)."""
     M = x.shape[-1]
-    Mp = -(-M // blk) * blk
+    Mp = 128
+    while Mp < M:
+        Mp *= 2
     if Mp == M:
         return x, M
     pad = [(0, 0)] * (x.ndim - 1) + [(0, Mp - M)]
     return jnp.pad(x, pad), M
 
 
+# (kernel name, padded lanes) -> jitted pallas call; the fused RCB15 point
+# kernels are ~25k traced ops each, so re-tracing per call site dominated
+# whole-pipeline jit time (round-2: 112 s trace vs 13.5 s XLA compile).
+_POINT_CACHE: dict = {}
+
+
 def _point_call(kernel, n_in, args, blk=POINT_BLK):
+    padded = [_pad_lanes(a)[0] for a in args]
     M = args[0].shape[-1]
-    # power-of-two block quantisation: at most 4 Mosaic shapes per kernel
-    b = 128
-    while b < M and b < blk:
-        b *= 2
-    blk = b
-    padded = [
-        _pad_lanes(a, blk)[0] for a in args
-    ]
     Mp = padded[0].shape[-1]
-    spec = pl.BlockSpec((3, N_LIMBS, blk), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((3, N_LIMBS, Mp), jnp.uint32),
-        grid=(Mp // blk,),
-        in_specs=[spec] * n_in,
-        out_specs=spec,
-        interpret=_interpret(),
-    )(*padded)
-    return out[..., :M]
+    key = (kernel.__name__, Mp)
+    fn = _POINT_CACHE.get(key)
+    if fn is None:
+        b = min(Mp, blk)
+
+        def call(*ops):
+            spec = pl.BlockSpec(
+                (3, N_LIMBS, b), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+            )
+            return pl.pallas_call(
+                kernel,
+                out_shape=jax.ShapeDtypeStruct((3, N_LIMBS, Mp), jnp.uint32),
+                grid=(Mp // b,),
+                in_specs=[spec] * n_in,
+                out_specs=spec,
+                interpret=_interpret(),
+            )(*ops)
+
+        fn = jax.jit(call)
+        _POINT_CACHE[key] = fn
+    return fn(*padded)[..., :M]
 
 
 # ---------------------------------------------------------------------------

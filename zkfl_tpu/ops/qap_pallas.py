@@ -133,7 +133,7 @@ class DeviceMatrices:
     Row ids are offset by which*domain so A, B and C reduce in ONE
     segment_sum; coefficients are Montgomery limb-major."""
 
-    def __init__(self, constraints, domain: int):
+    def __init__(self, constraints, domain: int, nnz_pad=None):
         self.domain = domain
         rows, cols, coeffs = [], [], []
         for which in range(3):
@@ -142,6 +142,14 @@ class DeviceMatrices:
                     rows.append(which * domain + j)
                     cols.append(w)
                     coeffs.append(coef % FR)
+        if nnz_pad is not None:
+            if nnz_pad < len(rows):
+                raise ValueError(f"nnz_pad {nnz_pad} < nnz {len(rows)}")
+            # zero-coefficient padding terms land in row 0 / wire 0: 0 adds
+            pad = nnz_pad - len(rows)
+            rows += [0] * pad
+            cols += [0] * pad
+            coeffs += [0] * pad
         self.rows = jnp.asarray(np.asarray(rows, dtype=np.int32))
         self.cols = jnp.asarray(np.asarray(cols, dtype=np.int32))
         self.coeffs = jnp.asarray(FRK.pack(coeffs))  # [16, nnz]
