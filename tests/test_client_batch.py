@@ -3,10 +3,7 @@ pipeline, optionally sharded over a device mesh (SURVEY §2.4 row 1 — the
 reference loops clients sequentially at full_system_simulation.mjs:1298-1343;
 per-client proofs are independent, so they batch/shard freely)."""
 
-import jax
-import numpy as np
 import pytest
-from jax.sharding import Mesh
 
 from zkfl_tpu.field.bn254 import FR
 from zkfl_tpu.groth16.device_prover import DeviceProver
@@ -53,14 +50,56 @@ def test_batched_proofs_verify(setup):
         assert groth16_verify(vk, proof)
 
 
-def test_batched_on_mesh_matches(setup):
-    """Client axis sharded over 2 virtual devices — same results."""
-    cs, pk, vk, witnesses = setup
-    devs = jax.devices()
-    if len(devs) < 2:
-        pytest.skip("needs the multi-device CPU mesh")
-    mesh = Mesh(np.array(devs[:2]), ("clients",))
-    prover = DeviceProver(pk, cs)
-    plain = prover.msm_results_many(witnesses)
-    sharded = prover.msm_results_many(witnesses, mesh=mesh)
-    assert plain == sharded
+@pytest.mark.slow
+def test_batched_on_mesh_matches():
+    """Client axis sharded over 2 virtual devices — same results.
+
+    Runs in a fresh subprocess: the shard_map'd fused pipeline is the
+    largest XLA CPU compile in the suite, and compiling it after ~45 other
+    tests' compiles segfaults LLVM in-process (observed repeatably on the
+    2-vCPU CI host).  A clean process compiles it fine — same program the
+    driver's dryrun_multichip exercises.
+    """
+    import os
+    import subprocess
+    import sys
+    import textwrap
+
+    script = textwrap.dedent(
+        """
+        import numpy as np, jax
+        from jax.sharding import Mesh
+        from tests.test_client_batch import _toy_circuit
+        from zkfl_tpu.groth16.device_prover import DeviceProver
+        from zkfl_tpu.groth16.setup import groth16_setup
+
+        cs = _toy_circuit(3, 5)
+        pk, vk = groth16_setup(cs, seed="batch-seed")
+        witnesses = [_toy_circuit(3 + i, 5 + 2 * i).witness for i in range(2)]
+        devs = jax.devices()
+        assert len(devs) >= 2, "needs the multi-device CPU mesh"
+        mesh = Mesh(np.array(devs[:2]), ("clients",))
+        prover = DeviceProver(pk, cs)
+        plain = prover.msm_results_many(witnesses)
+        sharded = prover.msm_results_many(witnesses, mesh=mesh)
+        assert plain == sharded
+        print("mesh-batched proving matches", flush=True)
+        """
+    )
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    ).strip()
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    r = subprocess.run(
+        [sys.executable, "-c", script],
+        env=env,
+        cwd=repo,
+        capture_output=True,
+        text=True,
+        timeout=1500,
+    )
+    assert r.returncode == 0, f"stdout:\n{r.stdout}\nstderr:\n{r.stderr[-4000:]}"
+    assert "mesh-batched proving matches" in r.stdout

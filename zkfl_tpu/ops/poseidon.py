@@ -78,7 +78,18 @@ class PoseidonKernel:
         return state
 
     def permute(self, state):
-        """state: [batch, t, 16] mont limbs -> permuted state."""
+        """state: [batch, t, 16] mont limbs -> permuted state.
+
+        On TPU the fused Pallas round kernels (ops/poseidon_pallas.py) run
+        the whole permutation in VMEM (~100x the XLA limb path); off-TPU
+        the oracle-tested XLA path below is used (Pallas interpret mode is
+        far too slow for a 65-round scan).
+        """
+        from .limb_kernels import _interpret
+        from .poseidon_pallas import permute_batch
+
+        if not _interpret():
+            return permute_batch(state)
         return self._permute(state)
 
     def hash(self, inputs):
