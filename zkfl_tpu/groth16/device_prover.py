@@ -59,14 +59,19 @@ class PipelineProfile:
         """Smallest profile covering every given circuit structure."""
         from ..field.bn254 import domain_size_for
 
+        def n_cons(cs):
+            if getattr(cs, "is_compiled", False):
+                return cs.n_constraints
+            return len(cs.constraints)
+
+        def nnz_of(cs):
+            if getattr(cs, "is_compiled", False):
+                return cs.nnz
+            return sum(len(abc[k]) for abc in cs.constraints for k in range(3))
+
         m_pad = max(cs.n_wires for cs in structures)
-        domain = max(
-            domain_size_for(len(cs.constraints) + 1) for cs in structures
-        )
-        nnz = max(
-            sum(len(abc[k]) for abc in cs.constraints for k in range(3))
-            for cs in structures
-        )
+        domain = max(domain_size_for(n_cons(cs) + 1) for cs in structures)
+        nnz = max(nnz_of(cs) for cs in structures)
         return PipelineProfile(m_pad=m_pad, domain=domain, nnz_pad=nnz)
 
 
@@ -132,7 +137,8 @@ class DeviceProver:
         structure: ConstraintSystem,
         profile: Optional[PipelineProfile] = None,
     ):
-        if not structure.constraints:
+        compiled = getattr(structure, "is_compiled", False)
+        if not compiled and not structure.constraints:
             raise ValueError("DeviceProver needs the structure-mode CS")
         if profile is not None and pk.domain != profile.domain:
             raise ValueError(
@@ -164,11 +170,17 @@ class DeviceProver:
             axis=2,
         )  # [3, 16, 4, n_max]  (one family set, shared by every client row)
         self.b2_pts = pk_ops.g2_to_device(pad_pts(pk.b2_query))[:, :, :, None, :]
-        dm = DeviceMatrices(
-            structure.constraints,
-            self.domain,
-            nnz_pad=profile.nnz_pad if profile else None,
-        )
+        if compiled:
+            dm = DeviceMatrices.from_coo(
+                structure, self.domain,
+                nnz_pad=profile.nnz_pad if profile else None,
+            )
+        else:
+            dm = DeviceMatrices(
+                structure.constraints,
+                self.domain,
+                nnz_pad=profile.nnz_pad if profile else None,
+            )
         self.rows, self.cols, self.coeffs = dm.rows, dm.cols, dm.coeffs
         self.cfg = (
             self.domain,

@@ -210,10 +210,16 @@ def groth16_prove(
         from .engine import HostEngine
 
         engine = HostEngine()
-    if not structure.constraints:
+    compiled = getattr(structure, "is_compiled", False)
+    if not compiled and not structure.constraints:
         raise ValueError(
             "groth16_prove needs the structure-mode ConstraintSystem "
             "(witness-only CS has no constraint matrices)"
+        )
+    if compiled and not hasattr(engine, "fused_msms"):
+        raise ValueError(
+            "CompiledCircuit proving needs the JAX fused engine "
+            "(host stage-by-stage path requires dict-form constraints)"
         )
     witness = list(witness) if witness is not None else structure.witness
     n_pub = pk.n_pub

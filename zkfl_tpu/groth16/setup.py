@@ -258,14 +258,24 @@ def setup_cached(
 ):
     cache = Path(cache_dir)
     cache.mkdir(parents=True, exist_ok=True)
+    n_cons = (
+        cs.n_constraints
+        if getattr(cs, "is_compiled", False)
+        else len(cs.constraints)
+    )
     fingerprint = hashlib.sha256(
-        f"{cs.name}|{len(cs.constraints)}|{cs.n_wires}|{cs.n_pub}|{seed}"
+        f"{cs.name}|{n_cons}|{cs.n_wires}|{cs.n_pub}|{seed}"
         f"|{domain or 0}".encode()
     ).hexdigest()[:16]
     path = cache / f"{cs.name}_{fingerprint}.zkey.pkl"
     if path.exists():
         with open(path, "rb") as f:
             return pickle.load(f)
+    if getattr(cs, "is_compiled", False):
+        raise ValueError(
+            f"zkey cache miss for {cs.name} and only the compiled COO form "
+            "is available — rebuild the full structure to run the setup"
+        )
     keys = groth16_setup(cs, seed, domain=domain)
     with open(path, "wb") as f:
         pickle.dump(keys, f)

@@ -154,6 +154,30 @@ class DeviceMatrices:
         self.cols = jnp.asarray(np.asarray(cols, dtype=np.int32))
         self.coeffs = jnp.asarray(FRK.pack(coeffs))  # [16, nnz]
 
+    @classmethod
+    def from_coo(cls, compiled, domain: int, nnz_pad=None) -> "DeviceMatrices":
+        """Build from a CompiledCircuit's prepacked COO arrays (no Python
+        per-entry loop — prod-dims circuits have ~10M entries)."""
+        self = cls.__new__(cls)
+        self.domain = domain
+        rows = compiled.which.astype(np.int32) * domain + compiled.row
+        cols = compiled.col
+        coeffs = compiled.coeffs
+        if nnz_pad is not None:
+            nnz = rows.shape[0]
+            if nnz_pad < nnz:
+                raise ValueError(f"nnz_pad {nnz_pad} < nnz {nnz}")
+            pad = nnz_pad - nnz
+            rows = np.concatenate([rows, np.zeros(pad, np.int32)])
+            cols = np.concatenate([cols, np.zeros(pad, np.int32)])
+            coeffs = np.concatenate(
+                [coeffs, np.zeros((coeffs.shape[0], pad), coeffs.dtype)], axis=1
+            )
+        self.rows = jnp.asarray(rows)
+        self.cols = jnp.asarray(np.asarray(cols, dtype=np.int32))
+        self.coeffs = jnp.asarray(coeffs)
+        return self
+
 
 def matrix_evals_lm(rows, cols, coeffs, w_mont, domain: int) -> jnp.ndarray:
     """Sparse (A.s, B.s, C.s): w_mont [16, B, m] -> [16, B, 3, domain]
