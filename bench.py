@@ -8,25 +8,36 @@ time witness->proof through the fused device pipeline (padded to the
 round's shared PipelineProfile, i.e. the shape it runs at in production);
 vs_baseline = baseline / ours (>1 means faster than the reference).
 
-extras (north-star metrics, BASELINE.json / VERDICT r1 item 5):
-  full_round_3clients_s   E2E verifiable FL round, 3 clients x 9 proofs,
-                          binding + aggregation (baseline 43 s, Table 4)
-  witness_ms              balance witness generation (baseline 45 ms)
-  prove_per_client_s      balance+training+secagg prove (baseline 14.1 s)
+First-proof latency: the fused pipeline executable is loaded AOT from
+artifacts/aot (built once by scripts/aot_prewarm.py on this chip —
+zkfl_tpu/groth16/aot.py), so a fresh process skips the ~2 min trace +
+several-minute XLA/Mosaic compile entirely.  Without the artifact the jit
+path still runs, just slowly (the r03 failure mode).
+
+extras (north-star metrics, BASELINE.json; CHEAP KERNEL METRICS RUN FIRST
+so budget pressure can only cost the expensive full-round entry, not the
+whole extras dict — VERDICT r3 weak #6):
+  poseidon_khashes_s      batched t=3 Poseidon permutations on device
+  mont_mul_gops_s         fused Pallas Montgomery-multiply throughput
+  *_mfu                   ratio of achieved int32 mul/add rate to the
+                          chip's nominal VPU peak (roofline anchor)
+  ntt_melems_s            radix-2 NTT over Fr, domain 2^14, batch 3
   msm_g1_mpoints_s        G1 Pippenger throughput, 4x16384 points, 1 chip
   msm_g2_mpoints_s        G2 Pippenger throughput, 16384 points, 1 chip
-  poseidon_khashes_s      batched t=3 Poseidon permutations on device
-  ntt_melems_s            radix-2 NTT over Fr, domain 2^14, batch 3
+  witness_ms              balance witness generation (baseline 45 ms)
+  full_round_3clients_s   E2E verifiable FL round, 3 clients x 9 proofs,
+                          binding + aggregation (baseline 43 s, Table 4)
+  prove_per_client_s      balance+training+secagg prove (baseline 14.1 s)
 
 Every proof is verified with the native pairing check before reporting.
 
 Wall-clock budget: the driver runs this under a timeout, so the whole run
-self-limits to ZKFL_BENCH_BUDGET seconds (default 540) — extras are
-skipped once the budget runs low, and a SIGALRM backstop emits the JSON
-line with whatever was measured.  The three FL circuits share ONE compiled
-pipeline (groth16/device_prover.PipelineProfile), so the round-2 failure
-mode (three ~260 s pipeline compiles blowing the driver timeout) is gone.
-Set ZKFL_BENCH_QUICK=1 to emit only the headline.
+self-limits to ZKFL_BENCH_BUDGET seconds (default 540) — remaining extras
+are skipped once the budget runs low, and a SIGALRM backstop emits the
+JSON line with whatever was measured.  If the HEADLINE was never measured
+the run exits nonzero with an "error" field (ADVICE r3: a -1.0 headline
+must not look like success).  Set ZKFL_BENCH_QUICK=1 to emit only the
+headline.
 """
 
 from __future__ import annotations
@@ -41,6 +52,17 @@ BASELINE_PROVE_S = 4.2        # Report.pdf Table 3, balance circuit
 BASELINE_ROUND_S = 43.0       # Report.pdf Table 4, 3-client round
 BASELINE_WITNESS_MS = 45.0    # Report.pdf Table 3, balance witness
 BASELINE_CLIENT_PROVE_S = 14.1
+
+# Nominal v5e VPU int32 peak for the MFU anchor: 4 ALUs x (8,128) vector
+# x ~1.74 GHz ~= 7.1e12 int32 ops/s (public v5e spec; elementwise limb
+# kernels run on the VPU, not the MXU).
+VPU_INT32_PEAK = 7.1e12
+# int32 mul/add/shift op count of one fused 16-limb Montgomery multiply
+# (schoolbook 256 partials x ~3 ops + 3 carry chains + reduce ~= 1.3k).
+OPS_PER_MONT_MUL = 1300.0
+# ops per Poseidon t=3 permutation: 65 rounds x (mix: 9 mont_mul + adds,
+# sbox: ~3 mont_mul) ~= 585 mont-muls ~= 7.6e5 int ops.
+OPS_PER_POSEIDON_T3 = 585 * OPS_PER_MONT_MUL
 
 T0 = time.time()
 BUDGET = float(os.environ.get("ZKFL_BENCH_BUDGET", "540"))
@@ -64,8 +86,12 @@ def emit():
 
 def _alarm(signum, frame):  # backstop: never die without the JSON line
     log("BUDGET ALARM — emitting partial result")
+    rc = 0
+    if RESULT["value"] < 0:
+        RESULT["error"] = "headline prove did not finish within budget"
+        rc = 1
     emit()
-    os._exit(0)
+    os._exit(rc)
 
 
 def remaining() -> float:
@@ -80,6 +106,7 @@ def main() -> int:
     from zkfl_tpu.fl.client import Client, SharedLCG
     from zkfl_tpu.fl.config import REFERENCE_CONFIG
     from zkfl_tpu.fl.prover import RoundProver
+    from zkfl_tpu.groth16 import aot
     from zkfl_tpu.groth16.prover import groth16_prove
     from zkfl_tpu.groth16.verifier import groth16_verify
     from zkfl_tpu.r1cs.circuits import generate_witness
@@ -118,7 +145,10 @@ def main() -> int:
 
     t0 = time.time()
     proof = groth16_prove(pk, cs, wit.witness, engine=engine)
-    log(f"prove (compile+run) {time.time()-t0:.1f} s")
+    extras["first_prove_s"] = round(time.time() - t0, 1)
+    extras["aot_loaded"] = bool(aot._loaded)
+    log(f"prove (load+run) {extras['first_prove_s']} s "
+        f"(aot_loaded={extras['aot_loaded']})")
     if not groth16_verify(vk, proof):
         RESULT["error"] = "proof failed verification"
         emit()
@@ -137,59 +167,54 @@ def main() -> int:
 
     if not os.environ.get("ZKFL_BENCH_QUICK"):
         try:
-            _extras_full(extras, prover)
+            _extras_kernels(extras)
         except Exception as e:  # pragma: no cover - keep the headline alive
-            log(f"extras failed: {type(e).__name__}: {e}")
+            log(f"kernel extras failed: {type(e).__name__}: {e}")
             extras["extras_error"] = f"{type(e).__name__}: {e}"
+        try:
+            _extras_round(extras, prover)
+        except Exception as e:  # pragma: no cover
+            log(f"round extras failed: {type(e).__name__}: {e}")
+            extras["round_error"] = f"{type(e).__name__}: {e}"
 
     emit()
     return 0
 
 
-def _extras_full(extras, prover):
+def _extras_kernels(extras):
+    """North-star kernel metrics — cheap, so they run FIRST."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from zkfl_tpu.fl.config import REFERENCE_CONFIG
-    from zkfl_tpu.fl.simulation import run_round
-
-    # ---- E2E round: 3 clients x (balance + training + secagg) ----------
-    # Shares the prover's compiled pipeline; only the training/secagg
-    # witness kernels still compile here.
-    cfg = REFERENCE_CONFIG
-    if remaining() < 60:
-        extras["skipped_after"] = "headline"
-        return
-    _, warm = run_round(cfg, prover=prover, verbose=False)
-    log(f"warm-up round total {warm['total']:.1f} s")
-    if remaining() < warm["total"] * 1.3 + 30:
-        extras["full_round_3clients_s"] = round(warm["total"], 2)
-        extras["full_round_vs_baseline"] = round(43.0 / warm["total"], 2)
-        extras["full_round_is_warmup"] = True
-        log("budget low: reporting warm-up round as full_round")
-    else:
-        _, timings = run_round(cfg, prover=prover, verbose=False)
-        extras["full_round_3clients_s"] = round(timings["total"], 2)
-        extras["full_round_vs_baseline"] = round(43.0 / timings["total"], 2)
-        extras["round_phases_s"] = {
-            k: round(v, 3) for k, v in timings.items() if k != "total"
-        }
-        per_client = (
-            timings["balance_proofs"] + timings["training_proofs"]
-            + timings["secagg_proofs"]
-        ) / cfg.num_clients
-        extras["prove_per_client_s"] = round(per_client, 3)
-        extras["prove_per_client_vs_baseline"] = round(14.1 / per_client, 2)
-    log(f"full round {extras['full_round_3clients_s']} s")
-
-    # ---- Poseidon hashes/s (device batch kernel, t=3, device-resident) ---
     from zkfl_tpu.field.bn254 import FR
     from zkfl_tpu.field.limbs import FR_FIELD
+    from zkfl_tpu.ops.limb_kernels import FRK
     from zkfl_tpu.ops.poseidon import poseidon_hash_device
 
-    if remaining() < 45:
-        extras["skipped_after"] = "full_round"
+    # ---- fused Montgomery-multiply throughput + MFU anchor --------------
+    if remaining() < 30:
+        extras["skipped_after"] = "headline"
+        return
+    n_mm = 1 << 20
+    rng = np.random.RandomState(7)
+    a = jnp.asarray(rng.randint(0, 1 << 16, (16, n_mm)).astype(np.uint32))
+    b = jnp.asarray(rng.randint(0, 1 << 16, (16, n_mm)).astype(np.uint32))
+    out = FRK.mont_mul(a, b)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    for _ in range(10):
+        out = FRK.mont_mul(a, b)
+    jax.block_until_ready(out)
+    mm_s = n_mm / ((time.time() - t0) / 10)
+    extras["mont_mul_gops_s"] = round(mm_s / 1e9, 3)
+    extras["mont_mul_mfu"] = round(mm_s * OPS_PER_MONT_MUL / VPU_INT32_PEAK, 3)
+    log(f"mont_mul {extras['mont_mul_gops_s']} G/s "
+        f"(mfu ~{extras['mont_mul_mfu']})")
+
+    # ---- Poseidon hashes/s (device batch kernel, t=3) -------------------
+    if remaining() < 30:
+        extras["skipped_after"] = "mont_mul"
         return
     n_hash = 1 << 14
     flat = [(i * 7 + 3) % FR for i in range(2 * n_hash)]
@@ -200,14 +225,15 @@ def _extras_full(extras, prover):
     for _ in range(5):
         h = poseidon_hash_device(limbs)
     jax.block_until_ready(h)
-    extras["poseidon_khashes_s"] = round(n_hash / ((time.time() - t0) / 5) / 1e3, 1)
-    log(f"poseidon {extras['poseidon_khashes_s']} khashes/s")
+    ps_s = n_hash / ((time.time() - t0) / 5)
+    extras["poseidon_khashes_s"] = round(ps_s / 1e3, 1)
+    extras["poseidon_mfu"] = round(ps_s * OPS_PER_POSEIDON_T3 / VPU_INT32_PEAK, 3)
+    log(f"poseidon {extras['poseidon_khashes_s']} khashes/s "
+        f"(mfu ~{extras['poseidon_mfu']})")
 
-    # ---- NTT throughput ---------------------------------------------------
-    from zkfl_tpu.ops.limb_kernels import FRK
+    # ---- NTT throughput -------------------------------------------------
     from zkfl_tpu.ops.qap_pallas import ntt_lm
 
-    rng = np.random.RandomState(42)
     if remaining() < 45:
         extras["skipped_after"] = "poseidon"
         return
@@ -264,6 +290,45 @@ def _extras_full(extras, prover):
     log(f"msm_g2 {extras['msm_g2_mpoints_s']} Mpoints/s")
 
 
+def _extras_round(extras, prover):
+    """E2E round: 3 clients x (balance + training + secagg) — the most
+    expensive extra, so it runs LAST."""
+    from zkfl_tpu.fl.config import REFERENCE_CONFIG
+    from zkfl_tpu.fl.simulation import run_round
+
+    cfg = REFERENCE_CONFIG
+    if remaining() < 60:
+        extras["skipped_after"] = extras.get("skipped_after", "kernels")
+        return
+    _, warm = run_round(cfg, prover=prover, verbose=False)
+    log(f"warm-up round total {warm['total']:.1f} s")
+    extras["full_round_3clients_s"] = round(warm["total"], 2)
+    extras["full_round_vs_baseline"] = round(
+        BASELINE_ROUND_S / warm["total"], 2
+    )
+    if remaining() >= warm["total"] * 1.3 + 30:
+        _, timings = run_round(cfg, prover=prover, verbose=False)
+        extras["full_round_3clients_s"] = round(timings["total"], 2)
+        extras["full_round_vs_baseline"] = round(
+            BASELINE_ROUND_S / timings["total"], 2
+        )
+        extras["round_phases_s"] = {
+            k: round(v, 3) for k, v in timings.items() if k != "total"
+        }
+        per_client = (
+            timings["balance_proofs"] + timings["training_proofs"]
+            + timings["secagg_proofs"]
+        ) / cfg.num_clients
+        extras["prove_per_client_s"] = round(per_client, 3)
+        extras["prove_per_client_vs_baseline"] = round(
+            BASELINE_CLIENT_PROVE_S / per_client, 2
+        )
+    else:
+        extras["full_round_is_warmup"] = True
+        log("budget low: reporting warm-up round as full_round")
+    log(f"full round {extras['full_round_3clients_s']} s")
+
+
 def _enable_compile_cache():
     import jax
 
@@ -282,5 +347,5 @@ if __name__ == "__main__":
         log(f"FATAL: {type(e).__name__}: {e}")
         RESULT.setdefault("error", f"{type(e).__name__}: {e}")
         emit()
-        rc = 0
+        rc = 1
     sys.exit(rc)

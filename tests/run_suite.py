@@ -1,0 +1,84 @@
+"""Subprocess-batched test runner (the canonical way to run the suite).
+
+LLVM inside XLA-CPU dies (SIGSEGV) after many in-process kernel compiles
+on small hosts — observed repeatedly on 2-vCPU CI machines at different
+tests each run (VERDICT r3).  The structural fix is the reference's own
+runner design (tests/run_all_tests.mjs:19-66): run the suite as a handful
+of FRESH pytest processes and tally.  The persistent XLA compile cache
+(tests/conftest.py -> /tmp/zkfl_jax_cache) amortises compiles across
+batches, so the subprocess split costs little wall time after the first
+run.
+
+Usage:  python tests/run_suite.py [extra pytest args...]
+Exit code 0 iff every batch passed.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+
+# Batches grouped by compile weight: pure-host batches are cheap; the
+# XLA-limb / fused-pipeline batches get their own fresh processes.
+BATCHES = [
+    ("host-crypto", [
+        "test_field.py", "test_poseidon.py", "test_binformat.py",
+        "test_native.py",
+    ]),
+    ("circuits", [
+        "test_r1cs.py", "test_circuits_extra.py", "test_attacks.py",
+    ]),
+    ("groth16-fl", [
+        "test_groth16.py", "test_fl.py", "test_prod.py",
+    ]),
+    ("limb-kernels", [
+        "test_limbs.py", "test_ops.py", "test_pallas_poseidon.py",
+    ]),
+    ("device-pipeline", [
+        "test_pallas_kernels.py", "test_ops_curve.py", "test_jax_prover.py",
+    ]),
+    ("batch-parallel", [
+        "test_client_batch.py", "test_parallel.py",
+    ]),
+]
+
+
+def main() -> int:
+    extra = sys.argv[1:]
+    t0 = time.time()
+    results = []
+    for name, files in BATCHES:
+        paths = [os.path.join(HERE, f) for f in files]
+        missing = [p for p in paths if not os.path.exists(p)]
+        if missing:
+            print(f"[{name}] MISSING FILES: {missing}", flush=True)
+            results.append((name, 2, 0.0))
+            continue
+        t1 = time.time()
+        proc = subprocess.run(
+            [sys.executable, "-m", "pytest", "-q", *extra, *paths],
+            cwd=REPO,
+        )
+        dt = time.time() - t1
+        results.append((name, proc.returncode, dt))
+        status = "ok" if proc.returncode == 0 else f"FAIL rc={proc.returncode}"
+        print(f"[{name}] {status} in {dt:.1f}s", flush=True)
+
+    print("\n=== suite summary ===")
+    failed = 0
+    for name, rc, dt in results:
+        mark = "PASS" if rc == 0 else "FAIL"
+        print(f"  {mark}  {name:16s} {dt:7.1f}s")
+        failed += rc != 0
+    print(f"total {time.time()-t0:.1f}s, {len(results)-failed}/{len(results)} "
+          f"batches passed")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

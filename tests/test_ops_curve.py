@@ -1,22 +1,16 @@
-"""Batched G1 curve ops + device MSM vs the pure-Python Jacobian engine.
+"""Batched G1 curve ops vs the pure-Python Jacobian engine.
 
 The complete-formula (RCB15) projective path must agree with field/curve.py
 (itself pinned to the BN254 group law) on every edge case a branchless SIMD
-formulation must absorb: doubling, inverses, identity, zero scalars.
+formulation must absorb: doubling, inverses, identity.  (The production
+MSM lives in ops/msm_pallas.py, covered by tests/test_pallas_kernels.py.)
 """
 
 import random
 
-import jax.numpy as jnp
-import numpy as np
-import pytest
-
-from zkfl_tpu.field.bn254 import FR
 from zkfl_tpu.field.curve import g1_add, g1_generator, g1_mul, g1_neg
-from zkfl_tpu.groth16.prover import pippenger_g1
 from zkfl_tpu.ops.curve import (
     inf_point,
-    msm_g1_device,
     padd,
     pdbl,
     point_from_device,
@@ -64,32 +58,3 @@ def test_pdbl_matches():
 
 def test_inf_point_roundtrip():
     assert point_from_device(inf_point()) is None
-
-
-def test_msm_matches_pippenger():
-    pts = rand_points(7) + [None]
-    scs = [rng.randrange(FR) for _ in range(6)] + [0, 5]
-    assert msm_g1_device(pts, scs) == pippenger_g1(pts, scs)
-
-
-def test_msm_all_zero_scalars():
-    pts = rand_points(4)
-    assert msm_g1_device(pts, [0, 0, 0, 0]) is None
-
-
-def test_msm_single_point():
-    p = rand_points(1)[0]
-    k = rng.randrange(FR)
-    assert msm_g1_device([p], [k]) == g1_mul(p, k)
-
-
-def test_msm_g2_matches_host():
-    from zkfl_tpu.field.curve import g2_generator, g2_mul, g2_msm
-    from zkfl_tpu.ops.curve import msm_g2_device
-
-    g2 = g2_generator()
-    pts = [g2_mul(g2, rng.randrange(1, 10**6)) for _ in range(3)] + [None]
-    scs = [rng.randrange(FR) for _ in range(3)] + [7]
-    got = msm_g2_device(pts, scs)
-    want = g2_msm(pts, scs)
-    assert got == want

@@ -172,6 +172,35 @@ class TestQapPallas:
         c = [x * y % FR for x, y in zip(a, b)]
         evals = jnp.asarray(
             np.stack([FRK.pack(a), FRK.pack(b), FRK.pack(c)], axis=1)
-        )
-        got = FRK.unpack(compute_h_lm(evals), mont=False)
+        )[:, None, :, :]  # [16, B=1, 3, n]
+        got = FRK.unpack(np.asarray(compute_h_lm(evals))[:, 0, :], mont=False)
         assert got == compute_h_coeffs(a, b, c)
+
+    def test_matrix_evals_vs_oracle(self):
+        import jax.numpy as jnp
+
+        from zkfl_tpu.groth16.qap import matrix_evals
+        from zkfl_tpu.ops.qap_pallas import DeviceMatrices, matrix_evals_lm
+
+        # tiny R1CS: 3 constraints, 4 wires, dict-form {wire: coeff}
+        rng = np.random.RandomState(7)
+        constraints = []
+        for _ in range(3):
+            abc = []
+            for _ in range(3):
+                terms = {
+                    int(rng.randint(0, 4)): int(rng.randint(1, 1000))
+                    for _ in range(2)
+                }
+                abc.append(terms)
+            constraints.append(tuple(abc))
+        witness = _rand_fr(4)
+        domain = 4
+        dm = DeviceMatrices(constraints, domain)
+        w = jnp.asarray(FRK.pack(witness))[:, None, :]
+        evals = np.asarray(
+            matrix_evals_lm(dm.rows, dm.cols, dm.coeffs, w, domain)
+        )
+        want = matrix_evals(constraints, witness, domain)
+        for i in range(3):
+            assert FRK.unpack(evals[:, 0, i, :]) == want[i]

@@ -113,9 +113,9 @@ class Client:
         }
 
     # -- Phase 3 ----------------------------------------------------------
-    def generate_balance_proof(self) -> ProofPackage:
-        """Class-balance proof over the committed dataset
-        (full_system_simulation.mjs:340-395)."""
+    def balance_witness(self) -> List[int]:
+        """Witness for the class-balance circuit (witness-gen half of
+        generateBalanceProof, full_system_simulation.mjs:340-395)."""
         cfg = self.cfg
         sib, idx = self._merkle_paths(cfg.n)
         inputs = {
@@ -129,12 +129,19 @@ class Client:
             "siblings": sib,
             "pathIndices": idx,
         }
-        wit = generate_witness(cfg.balance_params, inputs)
-        proof = self.prover.prove_balance(wit.witness)
+        return generate_witness(cfg.balance_params, inputs).witness
+
+    def package_balance(self, proof) -> ProofPackage:
         return ProofPackage(
             self.client_id, proof, proof.public_signals,
             {"root_D": self.root_d, "c0": self.c0, "c1": self.c1},
         )
+
+    def generate_balance_proof(self) -> ProofPackage:
+        """Class-balance proof over the committed dataset
+        (full_system_simulation.mjs:340-395)."""
+        proof = self.prover.prove_balance(self.balance_witness())
+        return self.package_balance(proof)
 
     # -- Phase 4 ----------------------------------------------------------
     def compute_verified_gradient(self, weights: List[int]):
@@ -156,9 +163,10 @@ class Client:
             rem.append(summed[j] - q * divisor)
         return grad, summed, rem
 
-    def train_and_generate_proof(self, global_model: List[int]) -> ProofPackage:
-        """Training-integrity proof with in-circuit gradient correctness
-        (full_system_simulation.mjs:401-506)."""
+    def training_witness(self, global_model: List[int]) -> List[int]:
+        """Witness for the training circuit; updates weight/gradient state
+        (witness-gen half of trainAndGenerateProof,
+        full_system_simulation.mjs:401-506)."""
         cfg = self.cfg
         self.weights = list(global_model)
         grad, summed, rem = self.compute_verified_gradient(self.weights)
@@ -194,22 +202,30 @@ class Client:
             "siblings": sib,
             "pathIndices": idx,
         }
-        wit = generate_witness(cfg.training_params, inputs)
-        proof = self.prover.prove_training(wit.witness)
+        return generate_witness(cfg.training_params, inputs).witness
+
+    def package_training(self, proof) -> ProofPackage:
         return ProofPackage(
             self.client_id, proof, proof.public_signals,
             {
                 "root_D": self.root_d,
                 "root_G": self.root_g,
                 "root_W": self.root_w,
-                "round": cfg.current_round,
-                "gradient": grad,
+                "round": self.cfg.current_round,
+                "gradient": self.gradient,
             },
         )
 
+    def train_and_generate_proof(self, global_model: List[int]) -> ProofPackage:
+        """Training-integrity proof with in-circuit gradient correctness
+        (full_system_simulation.mjs:401-506)."""
+        proof = self.prover.prove_training(self.training_witness(global_model))
+        return self.package_training(proof)
+
     # -- Phase 4.5 --------------------------------------------------------
-    def generate_secagg_proof(self, all_shared_keys: Dict[int, Dict[int, int]]) -> ProofPackage:
-        """Masked-update proof (full_system_simulation.mjs:558-668):
+    def secagg_witness(self, all_shared_keys: Dict[int, Dict[int, int]]) -> List[int]:
+        """Witness for the masked-update proof
+        (full_system_simulation.mjs:558-668):
         m = g + sum_j sign(i,j) * PRF(K_ij, round, min, max, k) mod p."""
         cfg = self.cfg
         shared = all_shared_keys[self.client_id]
@@ -243,8 +259,9 @@ class Client:
             "master_key": self.master_key,
             "shared_keys": peer_keys,
         }
-        wit = generate_witness(cfg.secagg_params, inputs)
-        proof = self.prover.prove_secagg(wit.witness)
+        return generate_witness(cfg.secagg_params, inputs).witness
+
+    def package_secagg(self, proof) -> ProofPackage:
         return ProofPackage(
             self.client_id, proof, proof.public_signals,
             {
@@ -252,10 +269,14 @@ class Client:
                 "root_G": self.root_g,
                 "root_W": self.root_w,
                 "root_K": self.root_k,
-                "round": cfg.current_round,
-                "masked_update": masked,
+                "round": self.cfg.current_round,
+                "masked_update": self.masked_update,
             },
         )
+
+    def generate_secagg_proof(self, all_shared_keys: Dict[int, Dict[int, int]]) -> ProofPackage:
+        proof = self.prover.prove_secagg(self.secagg_witness(all_shared_keys))
+        return self.package_secagg(proof)
 
     # -- helpers ----------------------------------------------------------
     def _merkle_paths(self, count: int):

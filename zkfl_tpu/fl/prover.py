@@ -72,6 +72,35 @@ class RoundProver:
     def prove_secagg(self, witness):
         return groth16_prove(self.secagg_pk, self.secagg_cs, witness, engine=self.engine)
 
+    # -- batched proving (client-batch data parallelism) ------------------
+    @property
+    def can_batch(self) -> bool:
+        return hasattr(self.engine, "fused_msms")
+
+    def prove_balance_many(self, witnesses, mesh=None):
+        from ..groth16.prover import groth16_prove_many
+
+        return groth16_prove_many(
+            self.balance_pk, self.balance_cs, witnesses,
+            engine=self.engine, mesh=mesh,
+        )
+
+    def prove_training_many(self, witnesses, mesh=None):
+        from ..groth16.prover import groth16_prove_many
+
+        return groth16_prove_many(
+            self.training_pk, self.training_cs, witnesses,
+            engine=self.engine, mesh=mesh,
+        )
+
+    def prove_secagg_many(self, witnesses, mesh=None):
+        from ..groth16.prover import groth16_prove_many
+
+        return groth16_prove_many(
+            self.secagg_pk, self.secagg_cs, witnesses,
+            engine=self.engine, mesh=mesh,
+        )
+
     # -- verification (server side) --------------------------------------
     def verify_balance(self, proof) -> bool:
         return groth16_verify(self.balance_vk, proof)

@@ -16,7 +16,8 @@ witness/QAP intermediates through host Python ints between every stage
 
 Semantics identical to the pure-Python oracle (groth16/prover.py); the
 snarkjs counterpart is `groth16 prove` (full_system_simulation.mjs:770-780).
-Bit-exactness is pinned by tests/test_device_prover.py.
+Bit-exactness is pinned by tests/test_client_batch.py (fused pipeline vs
+the host oracle) and tests/test_pallas_kernels.py (per-stage kernels).
 """
 
 from __future__ import annotations
@@ -221,10 +222,16 @@ class DeviceProver:
             )
 
         if mesh is None:
-            g1_out, g2_out = _prove_msms(
-                cfg_for(B), n_pub, self.g1_pts, self.b2_pts, self.rows,
-                self.cols, self.coeffs, jnp.asarray(w_std),
-            )
+            from . import aot
+
+            args = (n_pub, self.g1_pts, self.b2_pts, self.rows,
+                    self.cols, self.coeffs, jnp.asarray(w_std))
+            cfg = cfg_for(B)
+            fn = aot.load(cfg, args)
+            if fn is not None:
+                g1_out, g2_out = fn(*args)
+            else:
+                g1_out, g2_out = _prove_msms(cfg, *args)
         else:
             from jax.sharding import PartitionSpec as P
 
@@ -259,6 +266,26 @@ class DeviceProver:
     def msm_results(self, witness: Sequence[int]) -> Dict[str, object]:
         """Single-witness fused pipeline (batch of one)."""
         return self.msm_results_many([witness])[0]
+
+    def aot_prewarm(self, batch: int = 1):
+        """Trace + compile + persist the fused pipeline executable for a
+        client batch of `batch` (scripts/aot_prewarm.py); later processes
+        then skip the ~minutes of tracing/compilation entirely."""
+        from . import aot
+
+        domain, n_max, _, _, wbits = self.cfg
+        cfg = (
+            domain, n_max,
+            mp._auto_chunk(4 * batch, n_max, False),
+            mp._auto_chunk(batch, n_max, True),
+            wbits,
+        )
+        args = (
+            jnp.int32(self.n_pub), self.g1_pts, self.b2_pts, self.rows,
+            self.cols, self.coeffs,
+            jnp.zeros((batch, 16, self.m_pad), jnp.uint32),
+        )
+        return aot.build_and_save(cfg, args)
 
 
 _prover_cache: Dict[tuple, DeviceProver] = {}

@@ -17,8 +17,6 @@ from __future__ import annotations
 
 from typing import Dict
 
-from ..ops.curve import msm_g1_device, msm_g2_device
-from ..ops.ntt import SparseMatrices, compute_h_coeffs_device, matrix_evals_device
 from . import qap
 
 
@@ -62,7 +60,7 @@ class JaxEngine:
         """`profile` (device_prover.PipelineProfile) pads every circuit
         proved through this engine to one canonical shape so they share a
         single compiled pipeline; None keeps per-circuit native shapes."""
-        self._sparse_cache: Dict[int, SparseMatrices] = {}
+        self._sparse_cache: Dict[tuple, object] = {}
         self.profile = profile
 
     def fused_msms(self, pk, structure, witness):
@@ -83,16 +81,44 @@ class JaxEngine:
         return msm_g2_host(points, scalars)
 
     def matrix_evals(self, constraints, witness, domain):
-        key = id(constraints)
-        sm = self._sparse_cache.get(key)
-        if sm is None or sm.domain != domain:
-            sm = SparseMatrices(constraints, domain)
-            self._sparse_cache[key] = sm
-        return matrix_evals_device(sm, witness)
+        """Host-int interface over the production limb-major pipeline
+        (ops/qap_pallas.matrix_evals_lm — the same code the fused prover
+        runs; the round-1 limb-last device path is gone)."""
+        import jax.numpy as jnp
+
+        from ..ops.limb_kernels import FRK
+        from ..ops.qap_pallas import DeviceMatrices, matrix_evals_lm
+
+        key = (id(constraints), domain)
+        dm = self._sparse_cache.get(key)
+        if dm is None:
+            dm = DeviceMatrices(constraints, domain)
+            self._sparse_cache[key] = dm
+        import numpy as np
+
+        w = jnp.asarray(FRK.pack(list(witness)))[:, None, :]  # [16, 1, m]
+        evals = matrix_evals_lm(dm.rows, dm.cols, dm.coeffs, w, domain)
+        arr = np.asarray(evals)  # [16, 1, 3, domain] Montgomery
+        return tuple(FRK.unpack(arr[:, 0, i, :]) for i in range(3))
 
     @staticmethod
     def compute_h(a_evals, b_evals, c_evals):
-        return compute_h_coeffs_device(a_evals, b_evals, c_evals)
+        import jax.numpy as jnp
+        import numpy as np
+
+        from ..ops.limb_kernels import FRK
+        from ..ops.qap_pallas import compute_h_lm
+
+        n = len(a_evals)
+        evals = jnp.asarray(
+            np.stack(
+                [FRK.pack(list(a_evals)), FRK.pack(list(b_evals)),
+                 FRK.pack(list(c_evals))],
+                axis=1,
+            )
+        )[:, None, :, :]  # [16, 1, 3, n]
+        h = compute_h_lm(evals)  # [16, 1, n] standard form
+        return FRK.unpack(np.asarray(h[:, 0, :]), mont=False)
 
 
 _default_engine = None

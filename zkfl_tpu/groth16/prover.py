@@ -245,6 +245,37 @@ def groth16_prove(
     return _assemble_proof(pk, witness, msms, r, s)
 
 
+def groth16_prove_many(
+    pk: ProvingKey,
+    structure: ConstraintSystem,
+    witnesses: Sequence[Sequence[int]],
+    engine=None,
+    mesh=None,
+    axis: str = "clients",
+) -> List[Proof]:
+    """Batched proving: B independent witnesses of ONE circuit through the
+    fused device pipeline in a single batched program (client-batch data
+    parallelism — the reference proves clients one `execSync` at a time,
+    full_system_simulation.mjs:1298-1343, but the proofs are independent).
+
+    With `mesh`, the client batch shards over `axis` via shard_map
+    (device_prover.msm_results_many).  Requires the JAX fused engine.
+    """
+    if engine is None or not hasattr(engine, "fused_msms"):
+        raise ValueError("groth16_prove_many needs the JAX fused engine")
+    from .device_prover import device_prover
+
+    dp = device_prover(pk, structure, engine.profile)
+    msms_list = dp.msm_results_many(
+        [list(w) for w in witnesses], mesh=mesh, axis=axis
+    )
+    proofs = []
+    for w, msms in zip(witnesses, msms_list):
+        r, s = default_blinding(list(w))
+        proofs.append(_assemble_proof(pk, list(w), msms, r, s))
+    return proofs
+
+
 def mul_g1(p, k: int):
     """Scalar mul returning Jacobian (internal helper)."""
     k %= FR

@@ -1,8 +1,4 @@
-"""Batched G1/G2 curve arithmetic + MSM on TPU (limb tensors, JAX/XLA).
-
-Replaces snarkjs's ffjavascript MSM (the Groth16 prove hot path,
-full_system_simulation.mjs:770-780; ~95% of reference round latency per
-SURVEY §3.3) with an XLA-friendly formulation:
+"""Batched G1/G2 curve arithmetic on XLA limb tensors (CPU fallback path).
 
   * G1 points are projective (X:Y:Z) limb tensors over FQ in Montgomery
     form, shape [..., 3, 16]; G2 points carry Fq2 coordinates (pairs of FQ
@@ -12,10 +8,12 @@ SURVEY §3.3) with an XLA-friendly formulation:
     every lane executes the same instructions, which is exactly what the
     VPU wants.  The same formula code runs for both groups through a small
     field-ops shim (Fq2 multiply = Karatsuba over three FQ multiplies).
-  * MSM is a bit-serial Horner scan: per scalar bit MSB-first, mask-select
-    the points and tree-reduce (halving levels for the bulk, then a
-    constant-shape butterfly so the jitted graph stays a handful of padd
-    instantiations).  No data-dependent scatter, no sort — static shapes.
+
+These XLA formulations are the off-TPU (interpret-mode) twins of the fused
+Pallas point kernels in ops/point_kernels.py — the production MSM is the
+sort/prefix-scan Pippenger in ops/msm_pallas.py.  The round-1 bit-serial
+device MSM that used to live here is gone (superseded; it only added
+~250x-slower dead code and LLVM compile pressure to the CPU test suite).
 
 Bit-exact vs the pure-Python Jacobian engines (field/curve.py,
 groth16/prover.py), pinned by tests/test_ops_curve.py.
@@ -23,13 +21,10 @@ groth16/prover.py), pinned by tests/test_ops_curve.py.
 
 from __future__ import annotations
 
-from functools import partial
-
-import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..field.bn254 import FQ, FR
+from ..field.bn254 import FQ
 from ..field.limbs import FQ_FIELD, N_LIMBS, ints_to_limbs
 from ..field.curve import TWIST_B
 
@@ -184,45 +179,6 @@ def select_point(mask, p, q, C=G1):
     return jnp.where(m, p, q)
 
 
-def _tree_reduce(pts, C, unroll_levels: int = 4):
-    """Sum points along axis 0: [n, 3, *coord] -> [3, *coord].  n = 2^k."""
-    n = pts.shape[0]
-    levels = int(np.log2(n))
-    for _ in range(min(unroll_levels, levels)):
-        m = pts.shape[0]
-        if m == 1:
-            return pts[0]
-        pts = padd(pts[: m // 2], pts[m // 2 :], C)
-    m = pts.shape[0]
-    if m == 1:
-        return pts[0]
-    rem = int(np.log2(m))
-
-    def body(k, x):
-        shift = 1 << k
-        return padd(x, jnp.roll(x, -shift, axis=0), C)
-
-    pts = jax.lax.fori_loop(0, rem, body, pts)
-    return pts[0]
-
-
-def _msm_kernel(points, bits, C):
-    inf1 = inf_point(points.shape[:1], C)
-
-    def bit_step(acc, bit_row):
-        acc = pdbl(acc, C)
-        sel = select_point(bit_row == 1, points, inf1, C)
-        t = _tree_reduce(sel, C)
-        return padd(acc, t, C), None
-
-    acc, _ = jax.lax.scan(bit_step, inf_point((), C), bits)
-    return acc
-
-
-_msm_impl_g1 = jax.jit(lambda points, bits: _msm_kernel(points, bits, G1))
-_msm_impl_g2 = jax.jit(lambda points, bits: _msm_kernel(points, bits, G2))
-
-
 # -- host converters --------------------------------------------------------
 
 def points_to_device(points):
@@ -259,15 +215,6 @@ def g2_points_to_device(points):
     return jnp.asarray(out)
 
 
-def scalars_to_bits(scalars, n_bits: int = 254):
-    """Host ints -> [n_bits, n] uint32, MSB first (vectorised unpack)."""
-    buf = b"".join((s % FR).to_bytes(32, "little") for s in scalars)
-    bytes_arr = np.frombuffer(buf, dtype=np.uint8).reshape(len(scalars), 32)
-    bits = np.unpackbits(bytes_arr, axis=1, bitorder="little")  # [n, 256] LSB first
-    out = bits[:, :n_bits][:, ::-1].T.astype(np.uint32)  # [n_bits, n] MSB first
-    return jnp.asarray(out)
-
-
 def point_from_device(acc):
     """[3,16] mont limbs projective -> host affine int pair (or None)."""
     arr = np.asarray(acc)
@@ -291,31 +238,3 @@ def g2_point_from_device(acc):
     return (x * zi, y * zi)
 
 
-def _pad_pow2(points, scalars):
-    n = len(points)
-    m = 1 << max(1, (n - 1).bit_length())
-    points = list(points) + [None] * (m - n)
-    scalars = list(scalars) + [0] * (m - n)
-    return points, scalars
-
-
-def msm_g1_device(points, scalars, n_bits: int = 254):
-    """Host-facing G1 MSM: affine int points + scalars -> affine int point.
-
-    Drop-in replacement for groth16.prover.pippenger_g1 (same contract:
-    None entries and zero scalars contribute the identity).
-    """
-    if not points:
-        return None
-    points, scalars = _pad_pow2(points, scalars)
-    acc = _msm_impl_g1(points_to_device(points), scalars_to_bits(scalars, n_bits))
-    return point_from_device(acc)
-
-
-def msm_g2_device(points, scalars, n_bits: int = 254):
-    """Host-facing G2 MSM; contract of groth16.prover.msm_g2."""
-    if not points:
-        return None
-    points, scalars = _pad_pow2(points, scalars)
-    acc = _msm_impl_g2(g2_points_to_device(points), scalars_to_bits(scalars, n_bits))
-    return g2_point_from_device(acc)

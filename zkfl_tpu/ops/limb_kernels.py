@@ -41,6 +41,18 @@ MAX_BLK = 4096  # lanes per grid step (VMEM footprint ~ a few MB)
 _KERNEL_CACHE: dict = {}
 
 
+def _pad_quantum(L: int) -> int:
+    """Padded lane count: next power of two in [128, MAX_BLK], then next
+    multiple of MAX_BLK (bounds pad waste to < MAX_BLK once L > MAX_BLK
+    while keeping the trace-cache sharing of quantised lane counts)."""
+    if L <= MAX_BLK:
+        Lp = 128
+        while Lp < L:
+            Lp *= 2
+        return Lp
+    return -(-L // MAX_BLK) * MAX_BLK
+
+
 @functools.lru_cache(maxsize=1)
 def _interpret() -> bool:
     """True off-TPU (CPU tests, the virtual multichip mesh).  The fused
@@ -342,16 +354,18 @@ class PallasField:
         return fn(*args)
 
     def _pad(self, x):
-        """Pad lanes to a power of two (>= 128).  Power-of-two quantisation
-        makes distinct call sites share a padded lane count, which is what
-        lets `_cached` reuse one traced jaxpr per (kernel, L): the unrolled
+        """Pad lanes to the kernel-shareable quantum.
+
+        Below MAX_BLK: next power of two (>= 128) — the quantisation that
+        lets `_cached` reuse one traced jaxpr per (kernel, L); the unrolled
         schoolbook kernel bodies are ~2k-30k traced ops, so RE-tracing them
         at every call site dominated whole-program compile time (round-2
-        bench: 112 s of the G1 MSM's 125 s jit cost was tracing)."""
+        bench: 112 s of the G1 MSM's 125 s jit cost was tracing).  Above
+        MAX_BLK: next multiple of MAX_BLK — a pure power-of-two scheme
+        nearly doubled HBM/compute for lengths just past 2^k (ADVICE r3,
+        e.g. the prod ~10.5M-lane COO stream padding to 16.7M)."""
         L = x.shape[-1]
-        Lp = 128
-        while Lp < L:
-            Lp *= 2
+        Lp = _pad_quantum(L)
         if Lp == L:
             return x, L
         pad = [(0, 0)] * (x.ndim - 1) + [(0, Lp - L)]

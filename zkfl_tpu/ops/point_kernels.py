@@ -138,12 +138,17 @@ def _flatten_lanes(x, coord_dims: int):
 
 
 def _pad_lanes(x):
-    """Pad lanes to a power of two >= 128 (shared with limb_kernels._pad:
-    the quantisation is what lets call sites share one traced kernel)."""
+    """Pad lanes to a power of two in [128, POINT_BLK], then to a multiple
+    of POINT_BLK (shared quantisation with limb_kernels._pad: call sites
+    share one traced kernel per padded lane count, and pad waste stays
+    bounded by POINT_BLK for long lane axes — ADVICE r3)."""
     M = x.shape[-1]
-    Mp = 128
-    while Mp < M:
-        Mp *= 2
+    if M <= POINT_BLK:
+        Mp = 128
+        while Mp < M:
+            Mp *= 2
+    else:
+        Mp = -(-M // POINT_BLK) * POINT_BLK
     if Mp == M:
         return x, M
     pad = [(0, 0)] * (x.ndim - 1) + [(0, Mp - M)]

@@ -93,11 +93,15 @@ class PoseidonKernel:
         return self._permute(state)
 
     def hash(self, inputs):
-        """inputs: [batch, t-1, 16] mont limbs -> [batch, 16] hash."""
+        """inputs: [batch, t-1, 16] mont limbs -> [batch, 16] hash.
+
+        Routes through `permute` so production hashing gets the fused
+        Pallas round kernels on TPU (ADVICE r3: calling _permute directly
+        left every hash path on the slow XLA limb formulation)."""
         batch = inputs.shape[0]
         zero = jnp.zeros((batch, 1, N_LIMBS), dtype=jnp.uint32)
         state = jnp.concatenate([zero, inputs], axis=1)
-        return self._permute(state)[:, 0, :]
+        return self.permute(state)[:, 0, :]
 
 
 def poseidon_hash_device(inputs):

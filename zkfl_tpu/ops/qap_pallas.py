@@ -8,7 +8,8 @@ kernel (multiply by the stage twiddles + both add/sub outputs).
 
 Replaces the FFT/QAP stage of `snarkjs groth16 prove`
 (full_system_simulation.mjs:770-780; SURVEY §3.3 — QAP NTTs over domains
-2^14..2^18).  Oracle: groth16/qap.py (tests/test_device_prover.py).
+2^14..2^18).  Oracle: groth16/qap.py (tests/test_pallas_kernels.py
+TestQapPallas).
 """
 
 from __future__ import annotations
