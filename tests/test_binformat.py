@@ -90,6 +90,58 @@ class TestZkeyRoundtrip:
         assert groth16_verify(vk2, proof)
 
 
+class TestSnarkjsLayoutZkey:
+    """Odd-Lagrange H basis — the layout a real snarkjs zkey uses
+    (zkey section 9 from ptau section 12; prover MSMs (A.B-C) at the odd
+    2n-th roots).  Pinned by a committed byte fixture so the import path is
+    exercised against stable on-disk bytes."""
+
+    FIXTURE = __file__.rsplit("/", 1)[0] + "/data/snarkjs_layout_toy.zkey"
+
+    @staticmethod
+    def _mk():
+        cs = _toy()
+        pk, vk = groth16_setup(
+            cs, seed="bin-odd-seed", device=False, h_basis="odd_evals"
+        )
+        return cs, pk, vk
+
+    def test_odd_basis_prove_verify(self):
+        cs, pk, vk = self._mk()
+        proof = groth16_prove(pk, cs)
+        assert groth16_verify(vk, proof)
+        # equivalent to the monomial basis: same witness, same publics
+        pk_m, vk_m = groth16_setup(cs, seed="bin-odd-seed", device=False)
+        proof_m = groth16_prove(pk_m, cs)
+        assert groth16_verify(vk_m, proof_m)
+        assert proof.public_signals == proof_m.public_signals
+
+    def test_odd_basis_rejects_bad_witness(self):
+        cs, pk, vk = self._mk()
+        bad = list(cs.values)
+        bad[-1] = (bad[-1] + 1) % FR
+        proof = groth16_prove(pk, cs, bad)
+        assert not groth16_verify(vk, proof)
+
+    def test_fixture_bytes_reproducible(self, tmp_path):
+        cs, pk, vk = self._mk()
+        path = str(tmp_path / "regen.zkey")
+        bf.write_zkey(path, pk, vk, cs)
+        regen = open(path, "rb").read()
+        committed = open(self.FIXTURE, "rb").read()
+        assert regen == committed, "fixture drifted from deterministic setup"
+
+    def test_fixture_import_prove_verify(self):
+        pk2, vk2, meta = bf.read_zkey(self.FIXTURE)
+        assert meta["h_basis"] == "odd_evals"
+        assert len(pk2.h_query) == pk2.domain  # odd basis: n points, not n-1
+        shim = bf.structure_from_zkey(pk2, meta)
+        assert shim.c_from_ab
+        witness = _toy().values
+        proof = groth16_prove(pk2, shim, witness)
+        assert groth16_verify(vk2, proof)
+
+
 class TestPtau:
     def test_ptau_roundtrip_and_consistency(self, tmp_path):
         from zkfl_tpu.field.curve import g1_generator, g1_mul

@@ -9,6 +9,7 @@ circuit parameters").  Here the circuit params derive from the config.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 from ..r1cs.balance import BalanceParams
@@ -30,7 +31,15 @@ class FLConfig:
     current_round: int = 1
     learning_rate: float = 0.01
     seed: int = 12345
-    artifacts_dir: str = "/tmp/zkfl_artifacts"
+    # Persistent setup/zkey cache (the reference's artifacts/ dir,
+    # full_system_simulation.mjs:57-61) — under $HOME so it survives /tmp
+    # cleanup between rounds; override per-config or via ZKFL_ARTIFACTS_DIR.
+    artifacts_dir: str = field(
+        default_factory=lambda: os.environ.get(
+            "ZKFL_ARTIFACTS_DIR",
+            os.path.expanduser("~/.cache/zkfl_artifacts"),
+        )
+    )
 
     # -- circuit instantiations ------------------------------------------
     @property

@@ -31,13 +31,18 @@ zkey sections (groth16, snarkjs src/zkey_utils.js writeHeader/write):
     6 pointsB1      nVars x G1         [B_i(tau)]1
     7 pointsB2      nVars x G2         [B_i(tau)]2
     8 pointsC       (nVars-nPublic-1) x G1
-    9 pointsH       domainSize x G1    [tau^i * Z(tau) / delta]1 **
-    10 contributions (opaque; empty on export)
+    9 pointsH       domainSize x G1 **
+    10 contributions csHash + contribution records (empty on dev export)
 
-** snarkjs stores section 9 over the LAGRANGE basis of the shifted domain;
-   our prover consumes the monomial-basis H query, so import/export of
-   section 9 carries our monomial points and the header's domainSize —
-   semantic difference documented here and in read_zkey.
+** snarkjs's section 9 holds H_k = [L^{2n}_{2k+1}(tau)/delta]1 — the
+   odd-indexed Lagrange basis of the DOUBLED domain (zkey_new.js builds it
+   from ptau section 12's 2^(power+1) Lagrange block); its prover MSMs them
+   against (A.B-C) evaluated at the odd 2n-th roots (the algebra is derived
+   in setup.odd_lagrange_h_scalars).  Our dev setup emits EITHER basis
+   (groth16_setup(h_basis=...)); read_zkey infers the basis from the
+   contributions section (snarkjs files always carry contributions; our
+   deterministic monomial dev exports have an empty section 10) and
+   prover.groth16_prove consumes both (qap.compute_podd for the odd basis).
 
 wtns sections: 1 header (u32 n8, r, u32 nWitness), 2 values.
 ptau sections: 1 header (u32 n8, q, u32 power, u32 ceremonyPower),
@@ -188,7 +193,27 @@ def write_zkey(path: str, pk: ProvingKey, vk: VerifyingKey,
     w.section(7, b"".join(g2_bytes(p) for p in pk.b2_query))
     w.section(8, b"".join(g1_bytes(p) for p in pk.c_query))
     w.section(9, b"".join(g1_bytes(p) for p in pk.h_query))
-    w.section(10, b"")  # contributions: none (deterministic dev setup)
+    if getattr(pk, "h_basis", "monomial") == "odd_evals":
+        # snarkjs-layout contributions (zkey_utils.js writeMPCParams):
+        # csHash[64] + u32 count + per-contribution record.  A snarkjs zkey
+        # always has >= 1 contribution; this dev-grade record is shaped like
+        # one (deltaAfter G1, g1_s, g1_sx, g2_spx, transcript hash, type,
+        # empty name) so readers that only length-check the section accept
+        # it, and read_zkey uses its presence to infer the H basis.
+        import hashlib as _hl
+
+        cs_hash = _hl.sha512(b"zkfl-dev-zkey|" + cs.name.encode()).digest()
+        record = (
+            g1_bytes(pk.delta1)
+            + g1_bytes((1, 2))            # g1_s (generator placeholder)
+            + g1_bytes(pk.delta1)         # g1_sx
+            + g2_bytes(pk.delta2)         # g2_spx
+            + _hl.sha512(b"zkfl-dev-contrib").digest()  # transcript hash
+            + struct.pack("<II", 0, 0)    # type, name length (no name)
+        )
+        w.section(10, cs_hash + struct.pack("<I", 1) + record)
+    else:
+        w.section(10, b"")  # contributions: none (deterministic dev setup)
     w.write(path)
 
 
@@ -196,11 +221,13 @@ def read_zkey(path: str) -> Tuple[ProvingKey, VerifyingKey, dict]:
     """Parse a groth16 zkey.  Returns (pk, vk, meta) where meta carries the
     raw coefficient table (matrix, constraint, signal, value).
 
-    NOTE: snarkjs's section 9 is over its shifted-Lagrange basis; a zkey we
-    wrote ourselves round-trips exactly, while a snarkjs-produced file
-    yields an H query our monomial-basis prover must not consume blindly —
-    meta["h_basis"] = "monomial" only for our own files (contributions
-    section empty)."""
+    The H basis is inferred from the contributions section: snarkjs files
+    (and our odd-basis exports) carry contributions and store section 9 in
+    the odd-Lagrange basis of the doubled domain; a monomial dev export has
+    an empty section 10.  The returned pk.h_basis routes the prover to the
+    matching scalar computation (qap.compute_podd vs compute_h_coeffs), so
+    read_zkey -> groth16_prove -> groth16_verify works for both layouts
+    (use structure_from_zkey for the constraint system)."""
     with open(path, "rb") as f:
         data = f.read()
     sec = read_binfile(data, "zkey")
@@ -243,6 +270,7 @@ def read_zkey(path: str) -> Tuple[ProvingKey, VerifyingKey, dict]:
         coeffs.append((matrix, constraint, signal, value))
         off += stride
 
+    h_basis = "monomial" if not sec.get(10) else "odd_evals"
     pk = ProvingKey(
         n_pub=n_pub, domain=domain,
         alpha1=alpha1, beta1=beta1, delta1=delta1,
@@ -250,15 +278,39 @@ def read_zkey(path: str) -> Tuple[ProvingKey, VerifyingKey, dict]:
         a_query=g1_list(sec[5]), b1_query=g1_list(sec[6]),
         b2_query=g2_list(sec[7]), c_query=g1_list(sec[8]),
         h_query=g1_list(sec[9]),
+        h_basis=h_basis,
     )
     vk = VerifyingKey(alpha1=alpha1, beta2=beta2, gamma2=gamma2,
                       delta2=delta2, ic=ic)
     meta = {
         "n_vars": n_vars,
         "coeffs": coeffs,
-        "h_basis": "monomial" if not sec.get(10) else "snarkjs-lagrange",
+        "h_basis": h_basis,
     }
     return pk, vk, meta
+
+
+def structure_from_zkey(pk: ProvingKey, meta: dict) -> ConstraintSystem:
+    """Provable ConstraintSystem from a parsed zkey's coefficient table.
+
+    zkey section 4 stores only the A and B matrices — snarkjs recovers C's
+    domain evaluations as A.B pointwise (valid for satisfying witnesses,
+    which is all a prover can use).  The shim marks that with c_from_ab so
+    groth16_prove's odd-basis path does the same; matrix evaluation and
+    MSMs otherwise treat it as any structure-mode circuit."""
+    n_vars = meta["n_vars"]
+    n_cons = 1 + max((c for _, c, _, _ in meta["coeffs"]), default=0)
+    constraints = [({}, {}, {}) for _ in range(n_cons)]
+    for matrix, constraint, signal, value in meta["coeffs"]:
+        constraints[constraint][matrix][signal] = value
+    cs = ConstraintSystem(
+        name="zkey-import",
+        values=[0] * n_vars,
+        constraints=constraints,
+        pub_names=[f"pub{i}" for i in range(pk.n_pub)],
+    )
+    cs.c_from_ab = True
+    return cs
 
 
 # ---------------------------------------------------------------------------

@@ -229,12 +229,26 @@ def groth16_prove(
 
     r, s = blinding if blinding is not None else default_blinding(witness)
 
-    if msm_g1 is None and hasattr(engine, "fused_msms"):
+    h_basis = getattr(pk, "h_basis", "monomial")
+    if msm_g1 is None and hasattr(engine, "fused_msms") and h_basis == "monomial":
         msms = engine.fused_msms(pk, structure, witness)
     else:
         _msm_g1 = msm_g1 or engine.msm_g1
         a_e, b_e, c_e = engine.matrix_evals(structure.constraints, witness, pk.domain)
-        h = engine.compute_h(a_e, b_e, c_e)
+        if h_basis == "odd_evals":
+            # snarkjs-basis H query (e.g. an imported zkey): scalars are the
+            # odd-2n-th-root evaluations of A.B - C, not h's coefficients.
+            # Structures imported from a zkey have no C matrix (section 4 is
+            # A/B only); c_from_ab recovers C's domain evals as A.B, exactly
+            # as snarkjs's buildABC1 does.
+            from .qap import compute_podd
+
+            h = compute_podd(
+                a_e, b_e,
+                None if getattr(structure, "c_from_ab", False) else c_e,
+            )
+        else:
+            h = engine.compute_h(a_e, b_e, c_e)
         msms = {
             "a": _msm_g1(pk.a_query, witness),
             "b1": _msm_g1(pk.b1_query, witness),

@@ -85,6 +85,24 @@ def matrix_evals(
     return a, b, c
 
 
+def compute_podd(a_evals, b_evals, c_evals=None) -> List[int]:
+    """(A.B - C) evaluated at the ODD 2n-th roots w_{2n}^{2k+1} — the MSM
+    scalars snarkjs's prover pairs with its Lagrange-basis H points
+    (ProvingKey.h_basis == "odd_evals"; see setup.odd_lagrange_h_scalars).
+
+    `c_evals=None` recovers C's domain evaluations as A.B pointwise — valid
+    because a satisfying witness has C_k = A_k B_k on the domain, which is
+    why snarkjs zkeys store no C matrix (section 4 holds A and B only)."""
+    n = len(a_evals)
+    if c_evals is None:
+        c_evals = [x * y % FR for x, y in zip(a_evals, b_evals)]
+    w2 = fr_nth_root(2 * n)
+    a_odd = coset_ntt(ntt(a_evals, inverse=True), shift=w2)
+    b_odd = coset_ntt(ntt(b_evals, inverse=True), shift=w2)
+    c_odd = coset_ntt(ntt(c_evals, inverse=True), shift=w2)
+    return [(x * y - z) % FR for x, y, z in zip(a_odd, b_odd, c_odd)]
+
+
 def compute_h_coeffs(a_evals, b_evals, c_evals) -> List[int]:
     """Coefficients of h(X) = (a(X) b(X) - c(X)) / Z(X), deg <= n-2.
 

@@ -87,7 +87,18 @@ class ProvingKey:
     b1_query: List[Optional[tuple]]      # [B_i(tau)]1, all wires
     b2_query: List[Optional[tuple]]      # [B_i(tau)]2, all wires
     c_query: List[Optional[tuple]]       # private wires only (index i - n_pub - 1)
-    h_query: List[Optional[tuple]]       # [tau^k Z(tau)/delta]1
+    h_query: List[Optional[tuple]]       # see h_basis
+    # "monomial":  H_k = [tau^k Z(tau)/delta]1, k = 0..domain-2; the prover
+    #              MSMs them with h(X)'s coefficients.
+    # "odd_evals": H_k = [L^{2n}_{2k+1}(tau)/delta]1, k = 0..domain-1 — the
+    #              odd-indexed Lagrange basis of the DOUBLED domain, which is
+    #              what snarkjs stores in zkey section 9 (built from ptau
+    #              section 12's 2^(power+1) Lagrange block; the prover MSMs
+    #              them with (A.B-C) evaluated at the odd 2n-th roots,
+    #              full_system_simulation.mjs:770-780's `groth16 prove`).
+    # Old pickled keys predate the field: always read via
+    # getattr(pk, "h_basis", "monomial").
+    h_basis: str = "monomial"
 
 
 @dataclass
@@ -142,11 +153,31 @@ def wire_evals(cs: ConstraintSystem, tau: int, domain: int):
     return a, b, c
 
 
+def odd_lagrange_h_scalars(tau: int, delta_inv: int, domain: int) -> List[int]:
+    """L^{2n}_{2k+1}(tau)/delta for k = 0..domain-1 (snarkjs H basis).
+
+    L_j^{2n}(tau) = (tau^{2n}-1) w^j / (2n (tau - w^j)), w = 2n-th root.
+    Correctness: for a satisfying witness P = A.B - C vanishes on the even
+    points (the domain), so sum_k P(odd_k) L^{2n}_{2k+1}(tau) = P(tau)
+    = h(tau) Z(tau) — the same group element the monomial basis yields."""
+    n2 = 2 * domain
+    w = fr_nth_root(n2)
+    z2 = (pow(tau, n2, FR) - 1) % FR
+    if z2 == 0:
+        raise ValueError("tau landed inside the doubled domain")
+    n2_inv = fr_inv(n2)
+    scale = z2 * n2_inv % FR * delta_inv % FR
+    wj = [pow(w, 2 * k + 1, FR) for k in range(domain)]
+    inv_denoms = fr_batch_inv([(tau - x) % FR for x in wj])
+    return [scale * x % FR * d % FR for x, d in zip(wj, inv_denoms)]
+
+
 def groth16_setup(
     cs: ConstraintSystem,
     seed: str = "zkfl-dev",
     device: bool = True,
     domain: Optional[int] = None,
+    h_basis: str = "monomial",
 ) -> Tuple[ProvingKey, VerifyingKey]:
     """Phase-1+2 setup.  `device=True` (default) runs every fixed-base
     encryption batch through the Pallas table-lookup kernels
@@ -177,12 +208,17 @@ def groth16_setup(
     ic_scalars = [kterm(i) * gamma_inv % FR for i in range(n_pub + 1)]
     c_scalars = [kterm(i) * delta_inv % FR for i in range(n_pub + 1, m)]
 
-    z_tau = (pow(tau, domain, FR) - 1) % FR
-    h_scalars = []
-    t_pow = 1
-    for _ in range(domain - 1):
-        h_scalars.append(t_pow * z_tau % FR * delta_inv % FR)
-        t_pow = t_pow * tau % FR
+    if h_basis == "odd_evals":
+        h_scalars = odd_lagrange_h_scalars(tau, delta_inv, domain)
+    elif h_basis == "monomial":
+        z_tau = (pow(tau, domain, FR) - 1) % FR
+        h_scalars = []
+        t_pow = 1
+        for _ in range(domain - 1):
+            h_scalars.append(t_pow * z_tau % FR * delta_inv % FR)
+            t_pow = t_pow * tau % FR
+    else:
+        raise ValueError(f"unknown h_basis {h_basis!r}")
 
     if device:
         from .device_setup import batch_fixed_mul_g1, batch_fixed_mul_g2
@@ -234,6 +270,7 @@ def groth16_setup(
         b2_query=b2_query,
         c_query=c_query,
         h_query=h_query,
+        h_basis=h_basis,
     )
     vk = VerifyingKey(
         alpha1=pk.alpha1,

@@ -352,13 +352,23 @@ def select_g2(mask, p, q):
 
 
 def g1_to_device(points) -> jnp.ndarray:
-    """Affine int pairs (None = identity) -> [3, 16, n] Montgomery limbs."""
+    """Affine int pairs (None = identity) -> [3, 16, n] Montgomery limbs.
+
+    The host only packs standard-form limbs (numpy frombuffer); the
+    Montgomery conversion runs on device — at prod dims the proving key is
+    ~2 M points, and per-point Python big-int muls dominated the upload
+    (VERDICT r3 next-step #5)."""
     xs = [0 if p is None else p[0] % FQ for p in points]
     ys = [1 if p is None else p[1] % FQ for p in points]
     zs = [0 if p is None else 1 for p in points]
-    return jnp.asarray(
-        np.stack([FQK.pack(xs), FQK.pack(ys), FQK.pack(zs)], axis=0)
-    )
+    std = np.stack(
+        [FQK.pack(xs, mont=False), FQK.pack(ys, mont=False),
+         FQK.pack(zs, mont=False)],
+        axis=0,
+    )  # [3, 16, n] standard form
+    n = std.shape[-1]
+    flat = jnp.asarray(np.moveaxis(std, 0, 1).reshape(N_LIMBS, 3 * n))
+    return jnp.moveaxis(FQK.to_mont(flat).reshape(N_LIMBS, 3, n), 1, 0)
 
 
 def g2_to_device(points) -> jnp.ndarray:
@@ -375,12 +385,19 @@ def g2_to_device(points) -> jnp.ndarray:
     zs = [(0, 0) if p is None else (1, 0) for p in points]
     arr = np.stack(
         [
-            np.stack([FQK.pack([v[0] for v in cs]), FQK.pack([v[1] for v in cs])], 0)
+            np.stack(
+                [FQK.pack([v[0] for v in cs], mont=False),
+                 FQK.pack([v[1] for v in cs], mont=False)], 0)
             for cs in (xs, ys, zs)
         ],
         axis=0,
-    )
-    return jnp.asarray(arr)
+    )  # [3, 2, 16, n] standard form; Montgomery conversion on device
+    n = arr.shape[-1]
+    flat = jnp.asarray(np.moveaxis(arr.reshape(6, N_LIMBS, n), 0, 1)
+                       .reshape(N_LIMBS, 6 * n))
+    return jnp.moveaxis(
+        FQK.to_mont(flat).reshape(N_LIMBS, 6, n), 1, 0
+    ).reshape(3, 2, N_LIMBS, n)
 
 
 def g1_from_device(pt) -> tuple | None:
