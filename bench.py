@@ -143,6 +143,25 @@ def main() -> int:
     )
     log(f"witness {extras['witness_ms']} ms")
 
+    # Fresh-machine insurance: if the AOT executable artifact is missing
+    # (never prewarmed here), build it now while the budget allows — with a
+    # warm persistent XLA cache this is ~2 min; without one it may exceed
+    # the budget, in which case we skip and let jit try (r03 failure mode,
+    # but now visible as aot_loaded=false + nonzero exit if it blows up).
+    if aot.enabled():
+        from zkfl_tpu.groth16.device_prover import device_prover
+
+        dp = device_prover(prover.balance_pk, prover.balance_cs, engine.profile)
+        if remaining() > 300:
+            t0 = time.time()
+            dp.aot_prewarm(batch=1)
+            log(f"aot artifact ready (B=1) in {time.time()-t0:.1f} s")
+        if remaining() > 420:
+            t0 = time.time()
+            dp.aot_prewarm(batch=cfg.num_clients)
+            log(f"aot artifact ready (B={cfg.num_clients}) in "
+                f"{time.time()-t0:.1f} s")
+
     t0 = time.time()
     proof = groth16_prove(pk, cs, wit.witness, engine=engine)
     extras["first_prove_s"] = round(time.time() - t0, 1)

@@ -42,8 +42,13 @@ BATCHES = [
     ("device-pipeline", [
         "test_pallas_kernels.py", "test_ops_curve.py", "test_jax_prover.py",
     ]),
-    ("batch-parallel", [
-        "test_client_batch.py", "test_parallel.py",
+    # split: together these two push a single process past the in-process
+    # XLA-CPU compile count where LLVM segfaults (observed rc=-11)
+    ("client-batch", [
+        "test_client_batch.py",
+    ]),
+    ("parallel", [
+        "test_parallel.py",
     ]),
 ]
 

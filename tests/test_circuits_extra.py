@@ -161,6 +161,29 @@ def test_secagg_legacy_rejects_norm_violation():
     assert not build_circuit(params, inputs).is_satisfied()
 
 
+def test_secagg_legacy_groth16_roundtrip():
+    """Full prove + verify of the legacy circuit (H6): the reference's
+    test_secureagg.cjs:24-47 compiles secure_agg_client, runs its own pot12
+    ceremony and does a groth16 prove/verify roundtrip — this is the native
+    equivalent (our deterministic dev setup stands in for the ceremony)."""
+    from zkfl_tpu.groth16.prover import groth16_prove
+    from zkfl_tpu.groth16.setup import groth16_setup
+    from zkfl_tpu.groth16.verifier import groth16_verify
+
+    params = SecaggLegacyParams(dim=8)
+    cs = build_circuit(params, _legacy_inputs(params))
+    assert cs.is_satisfied()
+    pk, vk = groth16_setup(cs, seed="legacy-secagg")
+    proof = groth16_prove(pk, cs)
+    assert groth16_verify(vk, proof)
+    assert proof.public_signals == cs.public_signals
+    # tampered masked_update (public) must not verify against the original
+    bad = list(cs.values)
+    bad[1] = (bad[1] + 1) % FR
+    bad_proof = groth16_prove(pk, cs, bad)
+    assert not groth16_verify(vk, bad_proof)
+
+
 def test_secagg_legacy_structure_matches_dummy():
     params = SecaggLegacyParams(dim=8)
     a = build_structure(params)

@@ -53,6 +53,43 @@ def test_graft_dryrun_multichip():
     graft.dryrun_multichip(8)
 
 
+@pytest.mark.slow
+def test_tp_prover_matches_unsharded(mesh8):
+    """Full TP pipeline (sharded-NTT h(X) + lane-sharded MSMs) over the
+    8-device mesh == the unsharded fused pipeline AND the proof verifies —
+    VERDICT r3 next-step #6 (NTT sharded inside the prover).
+
+    slow: ~13 min of XLA-CPU compile on a 2-vCPU host (passes; measured).
+    The driver's dryrun_multichip exercises the same path every round."""
+    from zkfl_tpu.groth16.device_prover import DeviceProver
+    from zkfl_tpu.groth16.prover import groth16_prove, _assemble_proof, \
+        default_blinding
+    from zkfl_tpu.groth16.setup import groth16_setup
+    from zkfl_tpu.groth16.verifier import groth16_verify
+    from zkfl_tpu.parallel.prover import msm_results_tp
+    from zkfl_tpu.r1cs.builder import ConstraintSystem
+
+    cs = ConstraintSystem(name="tp_toy")
+    out = cs.public_input("out", (3 * 3 * 5 + 3 + 7) % FR)
+    x = cs.private_input("x", 3)
+    y = cs.private_input("y", 5)
+    x2 = cs.mul(x, x)
+    x2y = cs.mul(x2, y)
+    cs.enforce_equal(x2y + x + 7, out)
+    # domain 64 so the 4-step factors (8, 8) cover the 8-device axis
+    pk, vk = groth16_setup(cs, seed="tp-seed", device=False, domain=64)
+    dp = DeviceProver(pk, cs)
+
+    tp_mesh = Mesh(np.asarray(jax.devices()[:8]), ("points",))
+    got = msm_results_tp(dp, [cs.values], tp_mesh)[0]
+    want = dp.msm_results(cs.values)
+    assert got == want, "TP pipeline diverges from unsharded fused pipeline"
+
+    r, s = default_blinding(cs.values)
+    proof = _assemble_proof(pk, cs.values, got, r, s)
+    assert groth16_verify(vk, proof)
+
+
 def test_sharded_ntt_matches_oracle(mesh8):
     """4-step sharded NTT over the 8-device mesh == pure-Python qap.ntt."""
     import jax.numpy as jnp

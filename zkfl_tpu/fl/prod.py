@@ -241,5 +241,14 @@ def run_prod_integration(
 
 
 if __name__ == "__main__":
+    import os
+    import sys
+
     res = run_prod_integration()
     assert res["balance_verified"] and res["v5_verified"] and res["binding_ok"]
+    out = next((a.split("=", 1)[1] for a in sys.argv[1:]
+                if a.startswith("--json-out=")), None)
+    if out:
+        with open(out, "w") as f:
+            json.dump(res, f, indent=1)
+        print(f"# wrote {os.path.abspath(out)}")

@@ -86,13 +86,14 @@ def load(cfg, args) -> Optional[Callable]:
 
 def build_and_save(cfg, args) -> Callable:
     """Trace + compile the fused pipeline for these arg shapes, persist the
-    executable, and return the loaded callable."""
+    executable, and return the loaded callable.  Idempotent: an existing
+    artifact (in memory or on disk) is loaded, not rebuilt."""
     from jax.experimental import serialize_executable as se
 
     from .device_prover import _prove_msms_impl
 
     key = cache_key(cfg, _shape_sig(args))
-    fn = _loaded.get(key)
+    fn = _loaded.get(key) or load(cfg, args)
     if fn is not None:
         return fn
 
