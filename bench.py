@@ -235,7 +235,7 @@ def _extras_kernels(extras):
     if remaining() < 30:
         extras["skipped_after"] = "mont_mul"
         return
-    n_hash = 1 << 14
+    n_hash = 1 << 16
     flat = [(i * 7 + 3) % FR for i in range(2 * n_hash)]
     limbs = jnp.asarray(FR_FIELD.to_mont(flat).reshape(n_hash, 2, 16))
     h = poseidon_hash_device(limbs)  # internally jitted per arity
@@ -294,8 +294,30 @@ def _extras_kernels(extras):
     extras["msm_g1_mpoints_s"] = round(m * n / ((time.time() - t0) / 5) / 1e6, 2)
     log(f"msm_g1 {extras['msm_g1_mpoints_s']} Mpoints/s")
 
+    # prod-sized MSM (n = 2^19, the balance_unified_prod lane count):
+    # fixed per-window sort/scan overhead amortizes, so this is the
+    # representative Mpoints/s/chip number
     if remaining() < 90:
         extras["skipped_after"] = "msm_g1"
+        return
+    n_big = 1 << 19
+    pd_big = jnp.tile(pd[:, :, None, :], (1, 1, 1, n_big // n))
+    sc_big = jnp.asarray(mp._pack_scalars(
+        [int.from_bytes(rng.bytes(32), "little") for _ in range(n_big)]
+    ))[None]
+    out_big = mp.msm_batch_g1(pd_big, sc_big)
+    jax.block_until_ready(out_big)
+    t0 = time.time()
+    for _ in range(3):
+        out_big = mp.msm_batch_g1(pd_big, sc_big)
+    jax.block_until_ready(out_big)
+    extras["msm_g1_prodsize_mpoints_s"] = round(
+        n_big / ((time.time() - t0) / 3) / 1e6, 2
+    )
+    log(f"msm_g1 prod-size {extras['msm_g1_prodsize_mpoints_s']} Mpoints/s")
+
+    if remaining() < 90:
+        extras["skipped_after"] = "msm_g1_prodsize"
         return
     g2b = [g2_mul(g2_generator(), 2 + i) for i in range(8)]
     p2 = pkops.g2_to_device([g2b[i % 8] for i in range(n)])[:, :, :, None, :]
@@ -349,11 +371,9 @@ def _extras_round(extras, prover):
 
 
 def _enable_compile_cache():
-    import jax
+    from zkfl_tpu.runtime import enable_persistent_cache
 
-    jax.config.update("jax_compilation_cache_dir", "/root/.cache/zkfl_jax")
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    enable_persistent_cache()
 
 
 if __name__ == "__main__":

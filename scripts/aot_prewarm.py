@@ -27,11 +27,9 @@ def log(msg):
 
 
 def main():
-    import jax
+    from zkfl_tpu.runtime import enable_persistent_cache
 
-    jax.config.update("jax_compilation_cache_dir", "/root/.cache/zkfl_jax")
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    enable_persistent_cache()
 
     from zkfl_tpu.fl.config import REFERENCE_CONFIG
     from zkfl_tpu.fl.prover import RoundProver

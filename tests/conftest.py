@@ -29,11 +29,12 @@ if not os.environ.get("ZKFL_TEST_TPU"):
 
 # Persistent compilation cache: the limb kernels are compile-heavy and
 # shape-stable, so caching across test processes cuts suite time a lot.
-import jax as _jax
+# zkfl_tpu.runtime patches the cache's write path to be atomic — a test
+# process killed mid-write must not poison the cache (truncated entries
+# SEGFAULT every later reader at deserialize; see runtime.py docstring).
+from zkfl_tpu.runtime import enable_persistent_cache
 
-_jax.config.update("jax_compilation_cache_dir", "/tmp/zkfl_jax_cache")
-_jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-_jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+enable_persistent_cache()
 
 import pytest  # noqa: E402
 

@@ -53,6 +53,21 @@ BATCHES = [
 ]
 
 
+def _wipe_compile_cache():
+    """Quarantine the persistent XLA compile cache.
+
+    A process killed mid-write used to leave truncated entries that
+    SEGFAULT every later reader at deserialize (zkfl_tpu/runtime.py fixes
+    the write path, but a cache poisoned by older code or other tooling
+    can persist on disk).  A crashed batch therefore wipes the cache and
+    retries once — recompiles are slow but correct."""
+    import shutil
+
+    path = (os.environ.get("ZKFL_JAX_CACHE_DIR")
+            or os.path.expanduser("~/.cache/zkfl_jax_cache"))
+    shutil.rmtree(path, ignore_errors=True)
+
+
 def main() -> int:
     extra = sys.argv[1:]
     t0 = time.time()
@@ -65,10 +80,13 @@ def main() -> int:
             results.append((name, 2, 0.0))
             continue
         t1 = time.time()
-        proc = subprocess.run(
-            [sys.executable, "-m", "pytest", "-q", *extra, *paths],
-            cwd=REPO,
-        )
+        cmd = [sys.executable, "-m", "pytest", "-q", *extra, *paths]
+        proc = subprocess.run(cmd, cwd=REPO)
+        if proc.returncode < 0:  # killed by a signal: suspect poisoned cache
+            print(f"[{name}] crashed (signal {-proc.returncode}); wiping "
+                  "compile cache and retrying once", flush=True)
+            _wipe_compile_cache()
+            proc = subprocess.run(cmd, cwd=REPO)
         dt = time.time() - t1
         results.append((name, proc.returncode, dt))
         status = "ok" if proc.returncode == 0 else f"FAIL rc={proc.returncode}"

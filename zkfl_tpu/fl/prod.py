@@ -161,31 +161,39 @@ def run_prod_integration(
     v5_cs = _structure(V5_PARAMS, cache_dir, log)
     timings["structures_s"] = time.time() - t0
 
+    # Per-circuit native domains: the two circuits differ 14x in size
+    # (357,764 vs 25,858 constraints), so padding sgd_v5 to the balance
+    # circuit's 2^19 domain (one shared compiled pipeline) costs ~12 s of
+    # wasted device work per v5 proof; two native-shape pipelines trade a
+    # one-time extra compile for a ~2x faster steady total.
     if engine is None:
         from ..groth16.engine import JaxEngine
-        from ..groth16.device_prover import PipelineProfile
 
-        profile = PipelineProfile.cover([bal_cs, v5_cs])
-        engine = JaxEngine(profile)
-        domain = profile.domain
-    else:
-        domain = getattr(getattr(engine, "profile", None), "domain", None)
+        engine = JaxEngine()
+    domain = getattr(getattr(engine, "profile", None), "domain", None)
 
     def _setup(cs, params):
         """Zkey-cache miss with only the COO form on disk: rebuild the full
         structure once to run the trusted setup."""
+        from ..field.bn254 import domain_size_for
+
+        n_cons = (cs.n_constraints if getattr(cs, "is_compiled", False)
+                  else len(cs.constraints))
+        # explicit natural domain keeps the zkey cache key stable whether
+        # or not a profile-bearing engine is passed
+        dom = domain or domain_size_for(n_cons + 1)
         try:
-            return setup_cached(cs, cache_dir, domain=domain), cs
+            return setup_cached(cs, cache_dir, domain=dom), cs
         except ValueError:
             log(f"{params.name}: zkey cache cold — rebuilding full structure")
             full = build_structure(params)
-            return setup_cached(full, cache_dir, domain=domain), cs
+            return setup_cached(full, cache_dir, domain=dom), cs
 
     t0 = time.time()
     (bal_pk, bal_vk), bal_cs = _setup(bal_cs, BALANCE_PARAMS)
     (v5_pk, v5_vk), v5_cs = _setup(v5_cs, V5_PARAMS)
     timings["setups_s"] = time.time() - t0
-    log(f"setups ready in {timings['setups_s']:.1f}s (domain {domain})")
+    log(f"setups ready in {timings['setups_s']:.1f}s")
 
     # --- dataset + witnesses ---------------------------------------------
     t0 = time.time()

@@ -1,0 +1,73 @@
+"""Process-level runtime configuration: safe persistent compile cache.
+
+jax's disk compile cache writes entries with a bare ``Path.write_bytes``
+and (with eviction disabled) takes no lock (jax/_src/lru_cache.py:121+):
+a process killed mid-write — exactly what driver/CI timeouts do — leaves a
+TRUNCATED entry, and ``backend.deserialize_executable`` SEGFAULTS on the
+garbage at the next cache hit.  This poisoned-cache crash is what took
+down whole test-suite runs at "random" points (any jit call site that
+happened to hit the bad key — observed at compilation_cache.py:238 with a
+clean faulthandler stack).
+
+``enable_persistent_cache()`` turns the cache on AND patches the write
+path to write-to-temp + atomic ``os.replace`` so a killed process leaves
+no partial entries.  Call it before the first jit in every entry point
+(tests/conftest.py, bench.py, scripts/aot_prewarm.py, __graft_entry__).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+_patched = False
+
+
+def _patch_atomic_put() -> None:
+    """Make jax's LRUCache.put crash-safe (temp file + atomic rename)."""
+    global _patched
+    if _patched:
+        return
+    from jax._src import lru_cache as _lru
+
+    orig_put = _lru.LRUCache.put
+
+    def atomic_put(self, key, val):
+        if not key:
+            raise ValueError("key cannot be empty")
+        if self.eviction_enabled:
+            return orig_put(self, key, val)  # eviction path takes a lock
+        cache_path = self.path / f"{key}{_lru._CACHE_SUFFIX}"
+        if cache_path.exists():
+            return
+        fd, tmp = tempfile.mkstemp(dir=str(self.path), suffix=".tmp")
+        try:
+            with os.fdopen(fd, "wb") as f:
+                f.write(val)
+            os.replace(tmp, str(cache_path))
+        except BaseException:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            raise
+
+    _lru.LRUCache.put = atomic_put
+    _patched = True
+
+
+def enable_persistent_cache(path: str | None = None) -> str:
+    """Enable the on-disk XLA compile cache with crash-safe writes.
+
+    Default location ~/.cache/zkfl_jax_cache (persistent across /tmp
+    cleanup); override with ZKFL_JAX_CACHE_DIR or the argument."""
+    import jax
+
+    path = (path or os.environ.get("ZKFL_JAX_CACHE_DIR")
+            or os.path.expanduser("~/.cache/zkfl_jax_cache"))
+    os.makedirs(path, exist_ok=True)
+    _patch_atomic_put()
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    return path
