@@ -42,10 +42,15 @@ BATCHES = [
     ("device-pipeline", [
         "test_pallas_kernels.py", "test_ops_curve.py", "test_jax_prover.py",
     ]),
-    # split: together these two push a single process past the in-process
-    # XLA-CPU compile count where LLVM segfaults (observed rc=-11)
+    # ≤2 large fused-pipeline compiles per process: XLA's CPU backend
+    # segfaults inside LLVM on ~the third big compile in one process
+    # (reproduced at compiler.py backend_compile_and_load with a clean
+    # faulthandler stack; the same compile passes standalone)
     ("client-batch", [
         "test_client_batch.py",
+    ]),
+    ("profile-padding", [
+        "test_profile_padding.py",
     ]),
     ("parallel", [
         "test_parallel.py",

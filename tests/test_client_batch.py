@@ -50,51 +50,6 @@ def test_batched_proofs_verify(setup):
         assert groth16_verify(vk, proof)
 
 
-def test_shared_profile_padded_proving():
-    """Two circuits of different sizes proved through ONE PipelineProfile
-    (padded wires/nnz, enlarged setup domain): proofs verify and the MSM
-    results match the unpadded native-shape pipeline (ADVICE r3 #4 — the
-    profile-padded path previously had no CPU coverage)."""
-    from zkfl_tpu.groth16.device_prover import PipelineProfile
-    from zkfl_tpu.groth16.engine import JaxEngine
-
-    def bigger_toy(x, y):
-        cs = ConstraintSystem(name="toy_big")
-        out = cs.public_input("out", (x * x % FR * y * y + 3 * x) % FR)
-        xin = cs.private_input("x", x)
-        yin = cs.private_input("y", y)
-        x2 = cs.mul(xin, xin)
-        y2 = cs.mul(yin, yin)
-        x2y2 = cs.mul(x2, y2)
-        cs.enforce_equal(x2y2 + 3 * xin, out)
-        return cs
-
-    a = _toy_circuit(3, 5)
-    b = bigger_toy(2, 6)
-    profile = PipelineProfile.cover([a, b])
-    # enlarged shared domain: larger than either circuit's natural one
-    profile = PipelineProfile(
-        m_pad=profile.m_pad + 3, domain=profile.domain * 2,
-        nnz_pad=profile.nnz_pad + 5,
-    )
-    engine = JaxEngine(profile)
-    keys = {
-        cs.name: groth16_setup(cs, seed="prof-seed", domain=profile.domain)
-        for cs in (a, b)
-    }
-    from zkfl_tpu.groth16.engine import HostEngine
-
-    for cs in (a, b):
-        pk, vk = keys[cs.name]
-        proof = groth16_prove(pk, cs, engine=engine)
-        assert groth16_verify(vk, proof), cs.name
-        # deterministic blinding (conftest): the padded fused proof must be
-        # byte-identical to the pure-Python host-engine proof — and both
-        # circuits reuse ONE compiled pipeline (the profile's point)
-        host = groth16_prove(pk, cs, engine=HostEngine())
-        assert proof == host, cs.name
-
-
 @pytest.mark.slow
 def test_batched_on_mesh_matches():
     """Client axis sharded over 2 virtual devices — same results.
