@@ -73,8 +73,8 @@ def _wipe_compile_cache():
     shutil.rmtree(path, ignore_errors=True)
 
 
-def main() -> int:
-    extra = sys.argv[1:]
+def main(extra=None) -> int:
+    extra = sys.argv[1:] if extra is None else list(extra)
     t0 = time.time()
     results = []
     for name, files in BATCHES:
@@ -85,13 +85,14 @@ def main() -> int:
             results.append((name, 2, 0.0))
             continue
         t1 = time.time()
+        env = dict(os.environ, ZKFL_SUITE_INPROC="1")
         cmd = [sys.executable, "-m", "pytest", "-q", *extra, *paths]
-        proc = subprocess.run(cmd, cwd=REPO)
+        proc = subprocess.run(cmd, cwd=REPO, env=env)
         if proc.returncode < 0:  # killed by a signal: suspect poisoned cache
             print(f"[{name}] crashed (signal {-proc.returncode}); wiping "
                   "compile cache and retrying once", flush=True)
             _wipe_compile_cache()
-            proc = subprocess.run(cmd, cwd=REPO)
+            proc = subprocess.run(cmd, cwd=REPO, env=env)
         dt = time.time() - t1
         results.append((name, proc.returncode, dt))
         status = "ok" if proc.returncode == 0 else f"FAIL rc={proc.returncode}"
