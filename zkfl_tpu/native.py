@@ -112,3 +112,86 @@ def merkle_levels(leaves: Sequence[int]) -> List[List[int]]:
             break
         width //= 2
     return levels
+
+
+# ---------------------------------------------------------------------------
+# BN254 pairing library (csrc/zkfl_pairing.cpp) — fast Groth16 verification
+# ---------------------------------------------------------------------------
+
+_PAIRING_LIB_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "libzkfl_pairing.so"
+)
+_PAIRING_SRC = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "csrc", "zkfl_pairing.cpp",
+)
+_pairing_lib = None
+_pairing_tried = False
+
+
+def _build_pairing() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+             "-o", _PAIRING_LIB_PATH, _PAIRING_SRC],
+            check=True, capture_output=True, timeout=300,
+        )
+        return True
+    except Exception:
+        return False
+
+
+def get_pairing_lib() -> Optional[ctypes.CDLL]:
+    global _pairing_lib, _pairing_tried
+    if _pairing_lib is not None or _pairing_tried:
+        return _pairing_lib
+    _pairing_tried = True
+    if not os.path.exists(_PAIRING_LIB_PATH) and os.path.exists(_PAIRING_SRC):
+        _build_pairing()
+    if not os.path.exists(_PAIRING_LIB_PATH):
+        return None
+    try:
+        lib = ctypes.CDLL(_PAIRING_LIB_PATH)
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        lib.bn254_pairing_check.argtypes = [ctypes.c_long, u64p, u64p]
+        lib.bn254_pairing_check.restype = ctypes.c_int
+        _pairing_lib = lib
+    except OSError:
+        _pairing_lib = None
+    return _pairing_lib
+
+
+def pairing_available() -> bool:
+    return get_pairing_lib() is not None
+
+
+def pairing_check_native(pairs) -> Optional[bool]:
+    """Native 4-limb pairing-product check: True/False, or None when the
+    library is unavailable or an input is degenerate (caller falls back to
+    the Python oracle, zkfl_tpu.field.pairing).
+
+    pairs: [(P, Q)] with P an affine int pair (or None = identity) and Q an
+    affine G2 pair of FQ2 coords (or None)."""
+    lib = get_pairing_lib()
+    if lib is None:
+        return None
+    g1_vals: List[int] = []
+    g2_vals: List[int] = []
+    for P, Q in pairs:
+        if P is None or Q is None:
+            # identity factor contributes 1; encode as (0,0) which the C
+            # side skips
+            g1_vals += [0, 0]
+            g2_vals += [0, 0, 0, 0]
+            continue
+        g1_vals += [P[0], P[1]]
+        x, y = Q
+        xc = x.coeffs if hasattr(x, "coeffs") else x
+        yc = y.coeffs if hasattr(y, "coeffs") else y
+        g2_vals += [xc[0], xc[1], yc[0], yc[1]]
+    g1_arr = _to_limbs(g1_vals)
+    g2_arr = _to_limbs(g2_vals)
+    rc = lib.bn254_pairing_check(len(pairs), _ptr(g1_arr), _ptr(g2_arr))
+    if rc < 0:
+        return None
+    return bool(rc)
