@@ -70,7 +70,12 @@ def pytest_cmdline_main(config):
     print("[conftest] whole-suite run -> subprocess-batched runner "
           "(ZKFL_SUITE_INPROC=1 overrides; see tests/run_suite.py)",
           flush=True)
-    extra = ["--run-slow"] if config.getoption("--run-slow") else []
+    # Forward the full user argv (minus the directory targets) so flags
+    # like -x / -v / --junitxml reach the subprocess batches (ADVICE r4 #1).
+    extra = [
+        a for a in config.invocation_params.args
+        if os.path.abspath(a) not in targets
+    ]
     return run_suite.main(extra=extra)
 
 

@@ -73,11 +73,29 @@ def _wipe_compile_cache():
     shutil.rmtree(path, ignore_errors=True)
 
 
+def _batches():
+    """BATCHES plus a catch-all for any test file not listed there — a new
+    test_*.py must never be silently skipped by the canonical runner
+    (ADVICE r4 #1)."""
+    import glob
+
+    listed = {f for _, files in BATCHES for f in files}
+    present = {os.path.basename(p)
+               for p in glob.glob(os.path.join(HERE, "test_*.py"))}
+    unlisted = sorted(present - listed)
+    out = list(BATCHES)
+    if unlisted:
+        print(f"[run_suite] unlisted test files -> catch-all batch: "
+              f"{unlisted}", flush=True)
+        out.append(("catch-all", unlisted))
+    return out
+
+
 def main(extra=None) -> int:
     extra = sys.argv[1:] if extra is None else list(extra)
     t0 = time.time()
     results = []
-    for name, files in BATCHES:
+    for name, files in _batches():
         paths = [os.path.join(HERE, f) for f in files]
         missing = [p for p in paths if not os.path.exists(p)]
         if missing:

@@ -82,7 +82,6 @@ def test_groth16_roundtrip_balance(balance_setup):
     assert not groth16_verify(vk, groth16_prove(pk, cs, wit_bad.witness))
 
 
-@pytest.mark.slow
 def test_groth16_snarkjs_schema_roundtrip(balance_setup):
     p, cs, pk, vk = balance_setup
     wit = generate_witness(p, _micro_balance_inputs(p))

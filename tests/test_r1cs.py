@@ -130,9 +130,13 @@ def test_structure_independent_of_inputs():
     assert s1.constraints == s2.constraints
 
 
-@pytest.mark.slow
 def test_training_v5_reference_vector():
-    """The reference's committed input satisfies our regenerated R1CS."""
+    """The reference's committed input satisfies our regenerated R1CS.
+
+    Runs by DEFAULT (VERDICT r4 #9): this is the strongest compatibility
+    oracle in the suite — the reference's canonical sgd_step_v5 vector
+    (ref:data/test_input_v5.json) must satisfy the regenerated constraint
+    system with the reference's own public signals."""
     with open(V5_VECTOR) as f:
         d = json.load(f)
     cs = build_circuit(TrainingParams(8, 16, 7, variant="v5"), d)

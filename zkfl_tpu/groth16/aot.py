@@ -29,7 +29,7 @@ import jax
 # Bump on ANY semantic change to device_prover._prove_msms_impl or the
 # kernels it composes (ops/limb_kernels, ops/point_kernels, ops/msm_pallas,
 # ops/qap_pallas) so stale executables are never loaded.
-AOT_VERSION = 4
+AOT_VERSION = 5  # r5: j-vectorized limb emitters (smaller/faster Mosaic kernels)
 
 _loaded: Dict[str, Callable] = {}
 

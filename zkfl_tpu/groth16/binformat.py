@@ -303,9 +303,14 @@ def structure_from_zkey(pk: ProvingKey, meta: dict) -> ConstraintSystem:
     constraints = [({}, {}, {}) for _ in range(n_cons)]
     for matrix, constraint, signal, value in meta["coeffs"]:
         constraints[constraint][matrix][signal] = value
+    # Wire 0 is the constant-one wire: a caller that forgets to pass an
+    # explicit witness must not silently prove the all-zeros assignment
+    # (ADVICE r4 #4).  values[0] = 1 keeps the placeholder well-formed; the
+    # remaining zeros still fail constraint satisfaction for any real
+    # circuit, surfacing as a non-verifying proof rather than garbage in.
     cs = ConstraintSystem(
         name="zkey-import",
-        values=[0] * n_vars,
+        values=[1] + [0] * (n_vars - 1),
         constraints=constraints,
         pub_names=[f"pub{i}" for i in range(pk.n_pub)],
     )

@@ -123,6 +123,34 @@ def _prove_msms_impl(cfg, n_pub, g1_pts, b2_pts, rows, cols, coeffs, w_std):
 
 _prove_msms = jax.jit(_prove_msms_impl, static_argnums=(0,))
 
+# In-process compiled-executable cache for the fused pipeline + timing of
+# the last cold build (trace vs backend compile) — bench.py reports these
+# as the first-prove breakdown (VERDICT r4 #2).
+_compiled_cache: Dict[tuple, object] = {}
+LAST_COMPILE_STATS: Dict[str, float] = {}
+
+
+def _compile_pipeline(cfg, args):
+    """Explicitly lower + compile the fused pipeline for these arg shapes,
+    recording stage times; cached per (cfg, shapes) in-process."""
+    import time
+
+    key = (cfg, tuple((tuple(a.shape), str(a.dtype)) for a in args))
+    fn = _compiled_cache.get(key)
+    if fn is not None:
+        return fn
+    t0 = time.time()
+    lowered = jax.jit(partial(_prove_msms_impl, cfg)).lower(
+        *(jax.ShapeDtypeStruct(a.shape, a.dtype) for a in args)
+    )
+    t1 = time.time()
+    compiled = lowered.compile()
+    t2 = time.time()
+    LAST_COMPILE_STATS["trace_s"] = round(t1 - t0, 2)
+    LAST_COMPILE_STATS["backend_compile_s"] = round(t2 - t1, 2)
+    _compiled_cache[key] = compiled
+    return compiled
+
 
 class DeviceProver:
     """Per-circuit device proving context (proving key resident on device).
@@ -206,54 +234,70 @@ class DeviceProver:
                 raise ValueError(
                     f"witness length {len(w)} != wires {self.m_wires}"
                 )
-        w_std = np.zeros((B, 16, self.m_pad), dtype=np.uint32)
-        for b, w in enumerate(witnesses):
-            w_std[b, :, : self.m_wires] = FRK.pack(list(w), mont=False)
-
+        w_std = self.pack_witnesses(witnesses)
         n_pub = jnp.int32(self.n_pub)
-
-        def cfg_for(batch):
-            domain, n_max, _, _, wbits = self.cfg
-            return (
-                domain, n_max,
-                mp._auto_chunk(4 * batch, n_max, False),
-                mp._auto_chunk(batch, n_max, True),
-                wbits,
-            )
 
         if mesh is None:
             from . import aot
 
             args = (n_pub, self.g1_pts, self.b2_pts, self.rows,
                     self.cols, self.coeffs, jnp.asarray(w_std))
-            cfg = cfg_for(B)
+            cfg = self.cfg_for(B)
             fn = aot.load(cfg, args)
-            if fn is not None:
-                g1_out, g2_out = fn(*args)
-            else:
-                g1_out, g2_out = _prove_msms(cfg, *args)
+            if fn is None:
+                # explicit lower/compile: same dispatch as the jit wrapper
+                # but with the cold-path stage times recorded
+                fn = _compile_pipeline(cfg, args)
+            g1_out, g2_out = fn(*args)
         else:
-            from jax.sharding import PartitionSpec as P
-
-            cfg = cfg_for(B // mesh.shape[axis])
-            fn = jax.shard_map(
-                lambda np_, g1, b2, r, c, co, w: _prove_msms_impl(
-                    cfg, np_, g1, b2, r, c, co, w
-                ),
-                mesh=mesh,
-                in_specs=(P(), P(), P(), P(), P(), P(), P(axis)),
-                out_specs=(P(None, None, axis), P(None, None, None, axis)),
-                check_vma=False,  # zeros-init fori carries meet varying updates
-            )
+            fn = self.mesh_fn(mesh, B, axis)
             g1_out, g2_out = jax.jit(fn)(
                 n_pub, self.g1_pts, self.b2_pts, self.rows, self.cols,
                 self.coeffs, jnp.asarray(w_std),
             )
 
+        return self.results_from_device(g1_out, g2_out)
+
+    # -- building blocks (shared with __graft_entry__'s cached dryrun) ----
+    def cfg_for(self, batch: int):
+        """Pipeline cfg for a per-program client batch of `batch`."""
+        domain, n_max, _, _, wbits = self.cfg
+        return (
+            domain, n_max,
+            mp._auto_chunk(4 * batch, n_max, False),
+            mp._auto_chunk(batch, n_max, True),
+            wbits,
+        )
+
+    def pack_witnesses(self, witnesses: Sequence[Sequence[int]]) -> np.ndarray:
+        w_std = np.zeros((len(witnesses), 16, self.m_pad), dtype=np.uint32)
+        for b, w in enumerate(witnesses):
+            w_std[b, :, : self.m_wires] = FRK.pack(list(w), mont=False)
+        return w_std
+
+    def mesh_fn(self, mesh, B: int, axis: str = "clients"):
+        """Raw (unjitted) shard_map callable for a client batch of B over
+        `axis` — per-client proving is embarrassingly parallel, no
+        collectives needed."""
+        from jax.sharding import PartitionSpec as P
+
+        cfg = self.cfg_for(B // mesh.shape[axis])
+        return jax.shard_map(
+            lambda np_, g1, b2, r, c, co, w: _prove_msms_impl(
+                cfg, np_, g1, b2, r, c, co, w
+            ),
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P(), P(), P(), P(axis)),
+            out_specs=(P(None, None, axis), P(None, None, None, axis)),
+            check_vma=False,  # zeros-init fori carries meet varying updates
+        )
+
+    @staticmethod
+    def results_from_device(g1_out, g2_out) -> list:
         g1_np = np.asarray(g1_out)   # [3, 16, B, 4]
         g2_np = np.asarray(g2_out)   # [3, 2, 16, B]
         out = []
-        for b in range(B):
+        for b in range(g1_np.shape[2]):
             out.append({
                 "a": pk_ops.g1_from_device(g1_np[:, :, b, 0]),
                 "b1": pk_ops.g1_from_device(g1_np[:, :, b, 1]),

@@ -1,0 +1,117 @@
+"""Generic serialized-executable cache for jitted (incl. shard_map) programs.
+
+groth16/aot.py caches the ONE fused-pipeline entry on TPU; this module
+generalises the idea to any jit-compilable callable, keyed by an explicit
+tag + version + backend + argument shapes.  Primary user:
+``__graft_entry__.dryrun_multichip`` — its three shard_map programs (the
+client-DP fused pipeline, the standalone sharded MSM, and the TP prover)
+each cost minutes of Python tracing + XLA-CPU compilation on the virtual
+8-device mesh, which is what timed out the round-4 multichip record
+(MULTICHIP_r04.json rc=124).  Committed artifacts under
+``artifacts/aot_dryrun`` let a fresh driver process load the compiled
+executables in seconds instead.
+
+Payloads are zlib-compressed: the serialized pipelines are >80% zeros
+(proto padding), so ~90 MB executables store as ~10 MB files.
+
+A stale artifact (code changed, version not bumped) computes the OLD
+program — every dryrun section verifies its outputs against host oracles
+(native pairing check / host Pippenger), which catches that; bump the
+caller's version on any semantic change.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import pickle
+import zlib
+from typing import Callable, Dict, Optional, Sequence
+
+import jax
+
+_loaded: Dict[str, Callable] = {}
+
+
+def _shape_sig(args) -> tuple:
+    return tuple((tuple(a.shape), str(a.dtype)) for a in args)
+
+
+def _key(tag: str, version: int, extra, args) -> str:
+    dev = jax.devices()[0]
+    desc = repr((tag, version, jax.__version__, dev.platform, dev.device_kind,
+                 len(jax.devices()), extra, _shape_sig(args)))
+    return hashlib.sha256(desc.encode()).hexdigest()[:20]
+
+
+def cached_jit(
+    tag: str,
+    version: int,
+    fn: Callable,
+    args: Sequence,
+    directory: str,
+    extra=None,
+    build: bool = True,
+) -> Optional[Callable]:
+    """Compiled executable for fn at these arg shapes, loaded from the
+    artifact cache when present; traced + compiled + persisted otherwise
+    (or returns None when build=False and no artifact exists).
+
+    `extra` folds additional static context (e.g. mesh shape) into the key.
+    Deserialization failures (jax/XLA version drift) fall back to a fresh
+    compile, overwriting the stale artifact."""
+    key = _key(tag, version, extra, args)
+    hit = _loaded.get(key)
+    if hit is not None:
+        return hit
+    path = os.path.join(directory, f"{tag}_{key}.xaot")
+    if os.path.exists(path):
+        try:
+            from jax.experimental import serialize_executable as se
+
+            with open(path, "rb") as f:
+                payload, in_tree, out_tree = pickle.loads(zlib.decompress(f.read()))
+            loaded = _respecting_shardings(
+                se.deserialize_and_load(payload, in_tree, out_tree)
+            )
+            _loaded[key] = loaded
+            return loaded
+        except Exception:
+            pass  # stale/corrupt: recompile below
+    if not build:
+        return None
+    from jax.experimental import serialize_executable as se
+
+    specs = [jax.ShapeDtypeStruct(a.shape, a.dtype) for a in args]
+    compiled = jax.jit(fn).lower(*specs).compile()
+    payload, in_tree, out_tree = se.serialize(compiled)
+    os.makedirs(directory, exist_ok=True)
+    blob = zlib.compress(pickle.dumps((payload, in_tree, out_tree)), 1)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(blob)
+    os.replace(tmp, path)
+    loaded = _respecting_shardings(
+        se.deserialize_and_load(payload, in_tree, out_tree)
+    )
+    _loaded[key] = loaded
+    return loaded
+
+
+def _respecting_shardings(compiled):
+    """Wrap a loaded executable so positional args are device_put to its
+    recorded input shardings first — a deserialized executable does NOT
+    auto-reshard (execute_sharded raises on a shard-count mismatch)."""
+    try:
+        in_shardings = compiled.input_shardings[0]
+    except Exception:
+        return compiled
+
+    def call(*args):
+        placed = [
+            a if s is None else jax.device_put(a, s)
+            for a, s in zip(args, list(in_shardings) + [None] * len(args))
+        ]
+        return compiled(*placed)
+
+    return call

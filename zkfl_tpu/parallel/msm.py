@@ -55,8 +55,10 @@ def _sharded_msm_local(points, scalars, ops, axis_name: str, wbits: int):
 
 
 def make_sharded_msm(mesh: Mesh, axis_name: str = "points",
-                     wbits: int = WINDOW_BITS, g2: bool = False):
-    """Build a jitted sharded MSM over `mesh` (points on `axis_name`)."""
+                     wbits: int = WINDOW_BITS, g2: bool = False,
+                     raw: bool = False):
+    """Build a jitted sharded MSM over `mesh` (points on `axis_name`);
+    ``raw`` returns the unjitted callable (serialized-executable cache)."""
     ops = _G2Ops if g2 else _G1Ops
     pspec = P(*([None] * (ops.coord_dims + 2) + [axis_name]))
     fn = jax.shard_map(
@@ -66,10 +68,11 @@ def make_sharded_msm(mesh: Mesh, axis_name: str = "points",
         out_specs=P(),
         check_vma=False,  # zeros-init fori carries meet varying updates
     )
-    return jax.jit(fn)
+    return fn if raw else jax.jit(fn)
 
 
-def msm_g1_sharded(points, scalars, mesh: Mesh, axis_name: str = "points"):
+def msm_g1_sharded(points, scalars, mesh: Mesh, axis_name: str = "points",
+                   xcache_dir: str | None = None):
     """Host-facing sharded G1 MSM: affine int points + int scalars ->
     affine int point.  Pads to a multiple of (axis size * 32) so every chip
     gets an equal static-shape slice aligned to the scan block."""
@@ -90,5 +93,15 @@ def msm_g1_sharded(points, scalars, mesh: Mesh, axis_name: str = "points"):
     sc_sharded = jax.device_put(
         sc, NamedSharding(mesh, P(None, None, axis_name))
     )
-    acc = make_sharded_msm(mesh, axis_name, wbits)(pts_sharded, sc_sharded)
+    if xcache_dir is not None:
+        from ..groth16 import xcache
+
+        raw = make_sharded_msm(mesh, axis_name, wbits, raw=True)
+        fn = xcache.cached_jit(
+            "sharded_msm_g1", 1, raw, (pts_sharded, sc_sharded), xcache_dir,
+            extra=(axis_name, wbits, tuple(mesh.shape.items())),
+        )
+    else:
+        fn = make_sharded_msm(mesh, axis_name, wbits)
+    acc = fn(pts_sharded, sc_sharded)
     return pk.g1_from_device(np.asarray(acc)[:, :, 0])

@@ -74,12 +74,22 @@ def _coset_tables(n1: int, n2: int):
 
 def _factor(n: int, D: int):
     """n = n1 * n2 with both multiples of D (n1 as square as possible)."""
+    if n < D * D:
+        raise ValueError(
+            f"TP prover needs domain >= devices^2: domain {n} < {D}^2 = "
+            f"{D * D} (use fewer devices on the points axis or a larger "
+            "setup domain)"
+        )
     n1 = 1 << ((n.bit_length() - 1) // 2)
     n1 = max(n1, D)
     n2 = n // n1
     if n2 < D:
         n1, n2 = n2, n1
-    assert n1 % D == 0 and n2 % D == 0, (n, n1, n2, D)
+    if n1 % D or n2 % D:
+        raise ValueError(
+            f"cannot factor domain {n} = {n1} x {n2} into multiples of "
+            f"{D} devices (domain and device count must be powers of two)"
+        )
     return n1, n2
 
 
@@ -132,8 +142,11 @@ def _msm_local(points, scalars, row_map, ops, axis: str, wbits: int,
     return mp._horner(S, ops, wbits)
 
 
-def make_fused_msms_tp(mesh: Mesh, cfg, n1: int, n2: int, axis: str = "points"):
-    """Jitted TP fused pipeline over `mesh`'s `axis` (D devices).
+def make_fused_msms_tp(mesh: Mesh, cfg, n1: int, n2: int, axis: str = "points",
+                       raw: bool = False):
+    """Jitted TP fused pipeline over `mesh`'s `axis` (D devices); with
+    ``raw`` the unjitted callable is returned (for the dryrun's serialized
+    -executable cache, groth16/xcache.py).
 
     cfg = (domain, n_max, wc_g1, wc_g2, wbits) as device_prover; n_max must
     be a multiple of D*32 (lane blocks align with the scan).  Takes the
@@ -202,17 +215,22 @@ def make_fused_msms_tp(mesh: Mesh, cfg, n1: int, n2: int, axis: str = "points"):
                         jnp.zeros((B,), jnp.int32))  # [3,2,16,B]
         return g1_out.reshape(3, 16, B, 4), g2_out
 
-    return jax.jit(fn)
+    return fn if raw else jax.jit(fn)
 
 
 _tp_fn_cache: dict = {}
 
 
-def msm_results_tp(dp, witnesses, mesh: Mesh, axis: str = "points"):
+def msm_results_tp(dp, witnesses, mesh: Mesh, axis: str = "points",
+                   xcache_dir: str | None = None):
     """Tensor-parallel counterpart of DeviceProver.msm_results_many: ONE
     proof pipeline (or a small batch) sharded over `axis` — sharded-NTT
     h(X) + lane-sharded MSMs.  Returns one a/b1/c/h/b2 dict per witness,
-    bit-exact with the unsharded fused pipeline."""
+    bit-exact with the unsharded fused pipeline.
+
+    `xcache_dir` routes compilation through the serialized-executable cache
+    (groth16/xcache.py) so a fresh process skips the minutes-long trace +
+    compile (the dryrun path)."""
     from ..ops import point_kernels as pk_ops
 
     D = mesh.shape[axis]
@@ -243,12 +261,22 @@ def msm_results_tp(dp, witnesses, mesh: Mesh, axis: str = "points"):
 
     cfg = (domain, n_pad, mp._auto_chunk(4 * B, n_pad, False),
            mp._auto_chunk(B, n_pad, True), wbits)
-    key = (mesh, cfg, n1, n2, axis)
-    fn = _tp_fn_cache.get(key)
-    if fn is None:
-        fn = _tp_fn_cache[key] = make_fused_msms_tp(mesh, cfg, n1, n2, axis)
-    g1_out, g2_out = fn(jnp.int32(dp.n_pub), g1_sh, b2_sh, dp.rows,
-                        dp.cols, dp.coeffs, jnp.asarray(w_std))
+    args = (jnp.int32(dp.n_pub), g1_sh, b2_sh, dp.rows,
+            dp.cols, dp.coeffs, jnp.asarray(w_std))
+    if xcache_dir is not None:
+        from ..groth16 import xcache
+
+        raw = make_fused_msms_tp(mesh, cfg, n1, n2, axis, raw=True)
+        fn = xcache.cached_jit(
+            "tp_prover", 1, raw, args, xcache_dir,
+            extra=(cfg, n1, n2, axis, tuple(mesh.shape.items())),
+        )
+    else:
+        key = (mesh, cfg, n1, n2, axis)
+        fn = _tp_fn_cache.get(key)
+        if fn is None:
+            fn = _tp_fn_cache[key] = make_fused_msms_tp(mesh, cfg, n1, n2, axis)
+    g1_out, g2_out = fn(*args)
     g1_np = np.asarray(g1_out)
     g2_np = np.asarray(g2_out)
     return [

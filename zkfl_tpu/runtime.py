@@ -24,11 +24,27 @@ _patched = False
 
 
 def _patch_atomic_put() -> None:
-    """Make jax's LRUCache.put crash-safe (temp file + atomic rename)."""
+    """Make jax's LRUCache.put crash-safe (temp file + atomic rename).
+
+    Touches jax private internals — guarded so a jax upgrade that moves the
+    module degrades to an unpatched (non-atomic) cache with a warning
+    instead of breaking every entry point (ADVICE r4 #2)."""
     global _patched
     if _patched:
         return
-    from jax._src import lru_cache as _lru
+    try:
+        from jax._src import lru_cache as _lru
+
+        _lru.LRUCache.put
+    except (ImportError, AttributeError) as e:  # pragma: no cover
+        import warnings
+
+        warnings.warn(
+            f"zkfl runtime: cannot patch jax lru_cache ({e}); persistent "
+            "compile cache enabled WITHOUT atomic writes"
+        )
+        _patched = True
+        return
 
     orig_put = _lru.LRUCache.put
 
