@@ -39,7 +39,7 @@ R = 1 << R_BITS
 # element (i, k) of the anti-diagonal view lives at 31*i + k (row stride 32
 # minus one for the per-row shift).  Max index 31*15 + 31 = 496 < 512; the
 # spill region k < i lands in the previous row's zero padding.
-_SKEW_IDX = jnp.asarray(
+_SKEW_IDX = np.asarray(
     31 * np.arange(N_LIMBS, dtype=np.int32)[:, None]
     + np.arange(2 * N_LIMBS, dtype=np.int32)[None, :]
 )
@@ -92,11 +92,11 @@ class LimbField:
         self.mont_r2 = (R * R) % modulus
         # n' = -p^-1 mod R  (full 256-bit Montgomery constant)
         self.n_prime = (-pow(modulus, -1, R)) % R
-        self.P = jnp.asarray(int_to_limbs(modulus))
-        self.TWO_P = jnp.asarray(int_to_limbs(2 * modulus))
-        self.NPRIME = jnp.asarray(int_to_limbs(self.n_prime))
-        self.R2 = jnp.asarray(int_to_limbs(self.mont_r2))
-        self.ONE_MONT = jnp.asarray(int_to_limbs(self.mont_r))
+        self.P = int_to_limbs(modulus)
+        self.TWO_P = int_to_limbs(2 * modulus)
+        self.NPRIME = int_to_limbs(self.n_prime)
+        self.R2 = int_to_limbs(self.mont_r2)
+        self.ONE_MONT = int_to_limbs(self.mont_r)
         self.ZERO = jnp.zeros(N_LIMBS, dtype=jnp.uint32)
 
     # -- host converters --------------------------------------------------
@@ -297,8 +297,8 @@ class LimbField:
                 if e:
                     base = self.mont_square(base)
             return result
-        bits = jnp.asarray(
-            [(e >> i) & 1 for i in range(e.bit_length())], dtype=jnp.uint32
+        bits = np.asarray(
+            [(e >> i) & 1 for i in range(e.bit_length())], dtype=np.uint32
         )
 
         def step(carry, bit):

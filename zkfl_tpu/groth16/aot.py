@@ -58,7 +58,20 @@ def _path(key: str) -> str:
 
 
 def enabled() -> bool:
-    return not os.environ.get("ZKFL_NO_AOT") and jax.default_backend() == "tpu"
+    """AOT executable artifacts only help where deserialization restores
+    compiled code.  On the tunneled "axon" PJRT platform the first
+    execution of a deserialized executable costs ~as much as a fresh
+    backend compile (measured 95-195 s, r5) while HIDING the cost behind
+    async dispatch — worse than the instrumented lower/compile path
+    (device_prover._compile_pipeline).  Opt back in with ZKFL_FORCE_AOT=1
+    on platforms where loading is cheap."""
+    if os.environ.get("ZKFL_NO_AOT"):
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    if os.environ.get("ZKFL_FORCE_AOT"):
+        return True
+    return "axon" not in jax.devices()[0].client.platform_version
 
 
 def load(cfg, args) -> Optional[Callable]:

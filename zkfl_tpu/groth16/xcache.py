@@ -52,12 +52,16 @@ def cached_jit(
     directory: str,
     extra=None,
     build: bool = True,
+    devices=None,
 ) -> Optional[Callable]:
     """Compiled executable for fn at these arg shapes, loaded from the
     artifact cache when present; traced + compiled + persisted otherwise
     (or returns None when build=False and no artifact exists).
 
     `extra` folds additional static context (e.g. mesh shape) into the key.
+    `devices` MUST be the mesh's device list when fn is a shard_map over a
+    sub-mesh: deserialize_and_load binds all local devices by default and
+    the runtime then rejects correctly-sharded args ("expected N shards").
     Deserialization failures (jax/XLA version drift) fall back to a fresh
     compile, overwriting the stale artifact."""
     key = _key(tag, version, extra, args)
@@ -67,13 +71,7 @@ def cached_jit(
     path = os.path.join(directory, f"{tag}_{key}.xaot")
     if os.path.exists(path):
         try:
-            from jax.experimental import serialize_executable as se
-
-            with open(path, "rb") as f:
-                payload, in_tree, out_tree = pickle.loads(zlib.decompress(f.read()))
-            loaded = _respecting_shardings(
-                se.deserialize_and_load(payload, in_tree, out_tree)
-            )
+            loaded = _load(path, devices)
             _loaded[key] = loaded
             return loaded
         except Exception:
@@ -91,11 +89,22 @@ def cached_jit(
     with open(tmp, "wb") as f:
         f.write(blob)
     os.replace(tmp, path)
-    loaded = _respecting_shardings(
-        se.deserialize_and_load(payload, in_tree, out_tree)
-    )
+    loaded = _load(path, devices)
     _loaded[key] = loaded
     return loaded
+
+
+def _load(path: str, devices):
+    from jax.experimental import serialize_executable as se
+
+    with open(path, "rb") as f:
+        payload, in_tree, out_tree = pickle.loads(zlib.decompress(f.read()))
+    return _respecting_shardings(
+        se.deserialize_and_load(
+            payload, in_tree, out_tree,
+            execution_devices=list(devices) if devices is not None else None,
+        )
+    )
 
 
 def _respecting_shardings(compiled):

@@ -37,7 +37,7 @@ class _G1Coords:
     ndim = 1  # trailing dims per coordinate
 
     def __init__(self):
-        self.b3 = jnp.asarray(ints_to_limbs([9 * F.mont_r % FQ])[0])
+        self.b3 = ints_to_limbs([9 * F.mont_r % FQ])[0]
         self.one = F.ONE_MONT
 
     mul = staticmethod(lambda a, b: F.mont_mul(a, b))
@@ -52,12 +52,8 @@ class _G2Coords:
 
     def __init__(self):
         b3 = TWIST_B * 3
-        self.b3 = jnp.asarray(
-            np.stack([F.to_mont([b3.coeffs[0]])[0], F.to_mont([b3.coeffs[1]])[0]])
-        )
-        self.one = jnp.asarray(
-            np.stack([F.to_mont([1])[0], F.to_mont([0])[0]])
-        )
+        self.b3 = np.stack([F.to_mont([b3.coeffs[0]])[0], F.to_mont([b3.coeffs[1]])[0]])
+        self.one = np.stack([F.to_mont([1])[0], F.to_mont([0])[0]])
 
     @staticmethod
     def add(a, b):

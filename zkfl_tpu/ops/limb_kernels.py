@@ -275,9 +275,11 @@ class PallasField:
         self._PL = _limbs(modulus)
         self._NPL = _limbs(self.n_prime)
         self._R2L = _limbs(self.mont_r2)
-        self.one_mont_col = jnp.asarray(
-            np.array(int_to_limbs(self.mont_r), dtype=np.uint32).reshape(N_LIMBS, 1)
-        )
+        # numpy: a device-array constant would be refetched per call site
+        # at jit lowering (slow over the axon tunnel)
+        self.one_mont_col = np.array(
+            int_to_limbs(self.mont_r), dtype=np.uint32
+        ).reshape(N_LIMBS, 1)
 
     @property
     def _lf(self):
@@ -288,7 +290,7 @@ class PallasField:
 
     def _const_ll(self, const: int, like):
         """Constant as broadcast limb-LAST tensor matching `like` [..., 16]."""
-        c = jnp.asarray(int_to_limbs(const))
+        c = np.asarray(int_to_limbs(const))
         return jnp.broadcast_to(c, like.shape)
 
     # -- kernel bodies ----------------------------------------------------

@@ -270,8 +270,8 @@ def _fq2_b3(L):
     c1 = np.array([_B3_G2[1]], dtype=np.uint32).T
     return jnp.stack(
         [
-            jnp.broadcast_to(jnp.asarray(c0), (N_LIMBS, L)),
-            jnp.broadcast_to(jnp.asarray(c1), (N_LIMBS, L)),
+            jnp.broadcast_to(c0, (N_LIMBS, L)),
+            jnp.broadcast_to(c1, (N_LIMBS, L)),
         ],
         0,
     )

@@ -36,13 +36,13 @@ class PoseidonKernel:
         C, M = poseidon_params(t)
         mont = F.mont_r
         # Round constants: [(R_F+rp), t, 16] in Montgomery form.
-        self.C = jnp.asarray(
-            np.stack(
-                [F.to_mont(C[r * t : (r + 1) * t]) for r in range(R_F + self.rp)]
-            )
+        # numpy, not jnp: device constants embedded in jitted code are
+        # fetched back per call site at lowering (slow over the axon tunnel)
+        self.C = np.stack(
+            [F.to_mont(C[r * t : (r + 1) * t]) for r in range(R_F + self.rp)]
         )
         # MDS: [t, t, 16] Montgomery.
-        self.M = jnp.asarray(np.stack([F.to_mont(row) for row in M]))
+        self.M = np.stack([F.to_mont(row) for row in M])
         self._permute = jax.jit(self._permute_impl)
 
     def _sbox(self, x):

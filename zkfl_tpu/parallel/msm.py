@@ -100,6 +100,7 @@ def msm_g1_sharded(points, scalars, mesh: Mesh, axis_name: str = "points",
         fn = xcache.cached_jit(
             "sharded_msm_g1", 1, raw, (pts_sharded, sc_sharded), xcache_dir,
             extra=(axis_name, wbits, tuple(mesh.shape.items())),
+            devices=mesh.devices.flat,
         )
     else:
         fn = make_sharded_msm(mesh, axis_name, wbits)

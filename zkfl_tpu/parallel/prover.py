@@ -270,6 +270,7 @@ def msm_results_tp(dp, witnesses, mesh: Mesh, axis: str = "points",
         fn = xcache.cached_jit(
             "tp_prover", 1, raw, args, xcache_dir,
             extra=(cfg, n1, n2, axis, tuple(mesh.shape.items())),
+            devices=mesh.devices.flat,
         )
     else:
         key = (mesh, cfg, n1, n2, axis)
