@@ -189,19 +189,22 @@ def main() -> int:
     log(f"verify {extras['verify_ms']} ms/proof")
 
     if not os.environ.get("ZKFL_BENCH_QUICK"):
-        # cheap kernel metrics -> FULL ROUND (steady + per-client) ->
-        # expensive prod-size MSM extras last (VERDICT r4 #3: the round's
-        # steady pass must not be starved by kernel benches)
-        try:
-            _extras_kernels(extras)
-        except Exception as e:  # pragma: no cover - keep the headline alive
-            log(f"kernel extras failed: {type(e).__name__}: {e}")
-            extras["extras_error"] = f"{type(e).__name__}: {e}"
+        # FULL ROUND FIRST (steady + per-client — VERDICT r4 #3: these must
+        # not be starved), then the cheap kernel metrics, then the
+        # expensive prod-size MSM extras last.  Each program's first run on
+        # the tunneled platform costs minutes of server-side load, so the
+        # round reuses the already-warm B=1 pipeline (sequential per-client
+        # proves) instead of compiling the batched B=3 program mid-bench.
         try:
             _extras_round(extras, prover)
         except Exception as e:  # pragma: no cover
             log(f"round extras failed: {type(e).__name__}: {e}")
             extras["round_error"] = f"{type(e).__name__}: {e}"
+        try:
+            _extras_kernels(extras)
+        except Exception as e:  # pragma: no cover - keep the headline alive
+            log(f"kernel extras failed: {type(e).__name__}: {e}")
+            extras["extras_error"] = f"{type(e).__name__}: {e}"
         try:
             _extras_kernels_big(extras)
         except Exception as e:  # pragma: no cover
@@ -213,7 +216,13 @@ def main() -> int:
 
 
 def _extras_kernels(extras):
-    """North-star kernel metrics — cheap, so they run FIRST."""
+    """North-star kernel metrics — cheap, so they run FIRST.
+
+    Methodology (r5): every eager device call on the tunneled axon platform
+    costs a multi-ms host round trip, and `block_until_ready` has been
+    observed returning before the work is done — so each metric runs K
+    CHAINED iterations inside ONE jitted fori_loop (data dependency keeps
+    them sequential) and is grounded by an explicit host fetch."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -221,42 +230,48 @@ def _extras_kernels(extras):
     from zkfl_tpu.field.bn254 import FR
     from zkfl_tpu.field.limbs import FR_FIELD
     from zkfl_tpu.ops.limb_kernels import FRK
-    from zkfl_tpu.ops.poseidon import poseidon_hash_device
+    from zkfl_tpu.ops.poseidon import PoseidonKernel
 
     # ---- fused Montgomery-multiply throughput + MFU anchor --------------
-    if remaining() < 30:
+    if remaining() < 45:
         extras["skipped_after"] = "headline"
         return
-    n_mm = 1 << 20
+    n_mm = 1 << 22
+    K = 10
     rng = np.random.RandomState(7)
     a = jnp.asarray(rng.randint(0, 1 << 16, (16, n_mm)).astype(np.uint32))
     b = jnp.asarray(rng.randint(0, 1 << 16, (16, n_mm)).astype(np.uint32))
-    out = FRK.mont_mul(a, b)
-    jax.block_until_ready(out)
+
+    @jax.jit
+    def mm_chain(x, y):
+        return jax.lax.fori_loop(0, K, lambda _, s: FRK.mont_mul(s, y), x)
+
+    np.asarray(mm_chain(a, b)[:, :64])  # compile + warm; tiny grounding fetch
     t0 = time.time()
-    for _ in range(10):
-        out = FRK.mont_mul(a, b)
-    jax.block_until_ready(out)
-    mm_s = n_mm / ((time.time() - t0) / 10)
+    np.asarray(mm_chain(a, b)[:, :64])
+    mm_s = K * n_mm / (time.time() - t0)
     extras["mont_mul_gops_s"] = round(mm_s / 1e9, 3)
     extras["mont_mul_mfu"] = round(mm_s * OPS_PER_MONT_MUL / VPU_INT32_PEAK, 3)
     log(f"mont_mul {extras['mont_mul_gops_s']} G/s "
         f"(mfu ~{extras['mont_mul_mfu']})")
 
-    # ---- Poseidon hashes/s (device batch kernel, t=3) -------------------
-    if remaining() < 30:
+    # ---- Poseidon permutations/s (fused round kernels, t=3) -------------
+    if remaining() < 45:
         extras["skipped_after"] = "mont_mul"
         return
+    # eager reps with a tiny grounding fetch (a chained fori of the fused
+    # round kernels faulted the TPU worker, as did batches past ~2^16, r5)
     n_hash = 1 << 16
-    flat = [(i * 7 + 3) % FR for i in range(2 * n_hash)]
-    limbs = jnp.asarray(FR_FIELD.to_mont(flat).reshape(n_hash, 2, 16))
-    h = poseidon_hash_device(limbs)  # internally jitted per arity
-    jax.block_until_ready(h)
+    Kp = 5
+    flat = [(i * 7 + 3) % FR for i in range(3 * n_hash)]
+    state = jnp.asarray(FR_FIELD.to_mont(flat).reshape(n_hash, 3, 16))
+    perm = PoseidonKernel(3)
+    np.asarray(perm.permute(state)[:2])  # Pallas fused-round path on TPU
     t0 = time.time()
-    for _ in range(5):
-        h = poseidon_hash_device(limbs)
-    jax.block_until_ready(h)
-    ps_s = n_hash / ((time.time() - t0) / 5)
+    for _ in range(Kp):
+        out_p = perm.permute(state)
+    np.asarray(out_p[:2])
+    ps_s = Kp * n_hash / (time.time() - t0)
     extras["poseidon_khashes_s"] = round(ps_s / 1e3, 1)
     extras["poseidon_mfu"] = round(ps_s * OPS_PER_POSEIDON_T3 / VPU_INT32_PEAK, 3)
     log(f"poseidon {extras['poseidon_khashes_s']} khashes/s "
@@ -271,18 +286,22 @@ def _extras_kernels(extras):
     vals = [int.from_bytes(rng.bytes(32), "little") % FR for _ in range(16384)]
     x = jnp.asarray(FRK.pack(vals)).reshape(16, 1, 16384)
     x3 = jnp.concatenate([x, x, x], axis=1)
-    f = jax.jit(ntt_lm)
-    y = f(x3)
-    jax.block_until_ready(y)
+    Kn = 10
+
+    @jax.jit
+    def ntt_chain(s):
+        return jax.lax.fori_loop(0, Kn, lambda _, v: ntt_lm(v), s)
+
+    np.asarray(ntt_chain(x3)[:, :, :64])
     t0 = time.time()
-    for _ in range(10):
-        y = f(x3)
-    jax.block_until_ready(y)
-    extras["ntt_melems_s"] = round(3 * 16384 / ((time.time() - t0) / 10) / 1e6, 2)
+    np.asarray(ntt_chain(x3)[:, :, :64])
+    extras["ntt_melems_s"] = round(
+        Kn * 3 * 16384 / (time.time() - t0) / 1e6, 2
+    )
     log(f"ntt {extras['ntt_melems_s']} Melems/s")
 
     # ---- MSM throughput (north star: Mpoints/s/chip) --------------------
-    from zkfl_tpu.field.curve import G1_GEN, g1_mul, g2_generator, g2_mul
+    from zkfl_tpu.field.curve import G1_GEN, g1_mul
     from zkfl_tpu.ops import msm_pallas as mp
     from zkfl_tpu.ops import point_kernels as pkops
 
@@ -297,13 +316,13 @@ def _extras_kernels(extras):
         mp._pack_scalars([int.from_bytes(rng.bytes(32), "little") for _ in range(n)])
         for _ in range(m)
     ]))
-    out = mp.msm_batch_g1(pd4, sc)
-    jax.block_until_ready(out)
+    np.asarray(mp.msm_batch_g1(pd4, sc))  # compile + warm
     t0 = time.time()
-    for _ in range(5):
+    reps = 5
+    for _ in range(reps):
         out = mp.msm_batch_g1(pd4, sc)
-    jax.block_until_ready(out)
-    extras["msm_g1_mpoints_s"] = round(m * n / ((time.time() - t0) / 5) / 1e6, 2)
+    np.asarray(out)
+    extras["msm_g1_mpoints_s"] = round(m * n * reps / (time.time() - t0) / 1e6, 2)
     log(f"msm_g1 {extras['msm_g1_mpoints_s']} Mpoints/s")
 
 
@@ -334,12 +353,11 @@ def _extras_kernels_big(extras):
     sc_big = jnp.asarray(mp._pack_scalars(
         [int.from_bytes(rng.bytes(32), "little") for _ in range(n_big)]
     ))[None]
-    out_big = mp.msm_batch_g1(pd_big, sc_big)
-    jax.block_until_ready(out_big)
+    np.asarray(mp.msm_batch_g1(pd_big, sc_big))
     t0 = time.time()
     for _ in range(3):
         out_big = mp.msm_batch_g1(pd_big, sc_big)
-    jax.block_until_ready(out_big)
+    np.asarray(out_big)
     extras["msm_g1_prodsize_mpoints_s"] = round(
         n_big / ((time.time() - t0) / 3) / 1e6, 2
     )
@@ -353,12 +371,11 @@ def _extras_kernels_big(extras):
     ))[None]
     g2b = [g2_mul(g2_generator(), 2 + i) for i in range(8)]
     p2 = pkops.g2_to_device([g2b[i % 8] for i in range(n)])[:, :, :, None, :]
-    out2 = mp.msm_batch_g2(p2, sc)
-    jax.block_until_ready(out2)
+    np.asarray(mp.msm_batch_g2(p2, sc))
     t0 = time.time()
     for _ in range(5):
         out2 = mp.msm_batch_g2(p2, sc)
-    jax.block_until_ready(out2)
+    np.asarray(out2)
     extras["msm_g2_mpoints_s"] = round(n / ((time.time() - t0) / 5) / 1e6, 2)
     log(f"msm_g2 {extras['msm_g2_mpoints_s']} Mpoints/s")
 
@@ -371,16 +388,23 @@ def _extras_round(extras, prover):
 
     cfg = REFERENCE_CONFIG
     if remaining() < 60:
-        extras["skipped_after"] = extras.get("skipped_after", "kernels")
+        extras["skipped_after"] = extras.get("skipped_after", "headline")
         return
-    _, warm = run_round(cfg, prover=prover, verbose=False)
+    # batch_clients=False: reuse the warm B=1 fused pipeline for all nine
+    # proofs (three circuits share one PipelineProfile) — compiling the
+    # batched B=3 program mid-bench would cost its own minutes-long cold
+    # load on this platform (the batched path is exercised by
+    # tests/test_client_batch.py and scripts/round8.py)
+    _, warm = run_round(cfg, prover=prover, verbose=False,
+                        batch_clients=False)
     log(f"warm-up round total {warm['total']:.1f} s")
     extras["full_round_3clients_s"] = round(warm["total"], 2)
     extras["full_round_vs_baseline"] = round(
         BASELINE_ROUND_S / warm["total"], 2
     )
     if remaining() >= warm["total"] * 1.3 + 30:
-        _, timings = run_round(cfg, prover=prover, verbose=False)
+        _, timings = run_round(cfg, prover=prover, verbose=False,
+                               batch_clients=False)
         extras["full_round_3clients_s"] = round(timings["total"], 2)
         extras["full_round_vs_baseline"] = round(
             BASELINE_ROUND_S / timings["total"], 2

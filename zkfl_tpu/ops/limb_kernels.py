@@ -88,21 +88,40 @@ def _rows(a):
     return [a[c] for c in range(a.shape[0])]
 
 
-def _emit_mul_wide(x, y):
+# Two emit styles for the schoolbook multiply (selected per kernel family):
+#   "col" — classic per-column accumulation: 256 one-dimensional partial
+#           products added straight into their columns.  Work-optimal
+#           (every product added exactly once); biggest trace (~1.3k ops
+#           per multiply) and the fastest steady state for the wide-lane
+#           FIELD kernels (mont_mul/NTT butterflies at blk 4096).
+#   "vec" — j-vectorized: 16 two-dimensional [16, blk] multiplies with
+#           pad-shift accumulation into a [32, blk] accumulator.  ~8x
+#           smaller trace (cuts fresh-process tracing of the fused prove
+#           pipeline from ~131 s to ~28 s) and measured faster for the
+#           POINT kernels (12 multiplies fused per RCB15 addition at
+#           blk 1024), at ~2x the vector-slot count.
+# point_kernels passes vec=True; PallasField uses the default col style.
+
+
+def _emit_mul_wide(x, y, vec: bool = False):
     """Full 512-bit product of two 16-limb vectors -> 32 raw columns.
 
     Column c accumulates lo/hi halves of the <=16 partial products with
     i + j == c; every column stays < 32 * 2^16 < 2^21, so uint32 never
-    overflows before the carry pass.
+    overflows before the carry pass."""
+    if not vec:
+        cols = [None] * (2 * N_LIMBS)
 
-    Vectorized over the j-limb axis (round 5): iteration i multiplies the
-    broadcast scalar-limb x_i against the whole [16, blk] y array and
-    accumulates the lo/hi halves into a [32, blk] column accumulator with
-    STATIC window adds.  16 two-dimensional vector multiplies replace the
-    former 256 one-dimensional ones — ~8x fewer traced/Mosaic ops per
-    mont-mul, which is what cut the per-kernel Mosaic compile (and with it
-    the fresh-process first-prove latency) and raised the VPU utilisation
-    of every field/point kernel."""
+        def acc_col(c, v):
+            cols[c] = v if cols[c] is None else cols[c] + v
+
+        for i in range(N_LIMBS):
+            xi = x[i]
+            for j in range(N_LIMBS):
+                p = xi * y[j]
+                acc_col(i + j, p & LIMB_MASK)
+                acc_col(i + j + 1, p >> LIMB_BITS)
+        return cols
     ya = jnp.stack(y)  # [16, blk]
     acc = None
     for i in range(N_LIMBS):
@@ -127,8 +146,27 @@ def _const_col(const_limbs, blk):
     return ya
 
 
-def _emit_mul_wide_const(x, const_limbs):
+def _emit_mul_wide_const(x, const_limbs, vec: bool = False):
     """x (16 limb vectors) times a compile-time constant (16 python ints)."""
+    if not vec:
+        cols = [None] * (2 * N_LIMBS)
+
+        def acc_col(c, v):
+            cols[c] = v if cols[c] is None else cols[c] + v
+
+        for i in range(N_LIMBS):
+            xi = x[i]
+            for j in range(N_LIMBS):
+                cj = const_limbs[j]
+                if cj == 0:
+                    continue
+                p = xi * cj
+                acc_col(i + j, p & LIMB_MASK)
+                acc_col(i + j + 1, p >> LIMB_BITS)
+        for c in range(2 * N_LIMBS):
+            if cols[c] is None:
+                cols[c] = jnp.zeros_like(x[0])
+        return cols
     ya = _const_col(const_limbs, x[0].shape[-1])
     acc = None
     for i in range(N_LIMBS):
@@ -140,11 +178,31 @@ def _emit_mul_wide_const(x, const_limbs):
     return _rows(acc)
 
 
-def _emit_mul_low_const(x, const_limbs):
+def _emit_mul_low_const(x, const_limbs, vec: bool = False):
     """Low 16 limbs of x * const — the m = t * n' mod R step.
 
     Same column sums as the full product truncated to c < 16 (columns are
-    independent before the carry pass), via a per-iteration row mask."""
+    independent before the carry pass)."""
+    if not vec:
+        cols = [None] * N_LIMBS
+
+        def acc_col(c, v):
+            if c < N_LIMBS:
+                cols[c] = v if cols[c] is None else cols[c] + v
+
+        for i in range(N_LIMBS):
+            xi = x[i]
+            for j in range(N_LIMBS - i):
+                cj = const_limbs[j]
+                if cj == 0:
+                    continue
+                p = xi * cj
+                acc_col(i + j, p & LIMB_MASK)
+                acc_col(i + j + 1, p >> LIMB_BITS)
+        for c in range(N_LIMBS):
+            if cols[c] is None:
+                cols[c] = jnp.zeros_like(x[0])
+        return cols
     blk = x[0].shape[-1]
     ya = _const_col(const_limbs, blk)
     acc = None
@@ -204,24 +262,26 @@ def _emit_cond_sub_const(u, const_limbs, need):
     return out
 
 
-def _emit_mont_reduce(t_cols, p_limbs, np_limbs):
+def _emit_mont_reduce(t_cols, p_limbs, np_limbs, vec: bool = False):
     """32 carried columns (t < p*R) -> t * R^-1 mod p, canonical 16 limbs."""
     t16, _ = _emit_carry(t_cols)
-    m = _emit_mul_low_const(t16[:N_LIMBS], np_limbs)
+    m = _emit_mul_low_const(t16[:N_LIMBS], np_limbs, vec)
     m16, _ = _emit_carry(m)
-    mn = _emit_mul_wide_const(m16, p_limbs)
+    mn = _emit_mul_wide_const(m16, p_limbs, vec)
     s = [t16[i] + mn[i] for i in range(2 * N_LIMBS)]
     s16, _ = _emit_carry(s)
     u = s16[N_LIMBS:]
     return _emit_cond_sub_const(u, p_limbs, _emit_geq_const(u, p_limbs))
 
 
-def _emit_mont_mul(x, y, p_limbs, np_limbs):
-    return _emit_mont_reduce(_emit_mul_wide(x, y), p_limbs, np_limbs)
+def _emit_mont_mul(x, y, p_limbs, np_limbs, vec: bool = False):
+    return _emit_mont_reduce(_emit_mul_wide(x, y, vec), p_limbs, np_limbs, vec)
 
 
-def _emit_mont_mul_const(x, const_limbs, p_limbs, np_limbs):
-    return _emit_mont_reduce(_emit_mul_wide_const(x, const_limbs), p_limbs, np_limbs)
+def _emit_mont_mul_const(x, const_limbs, p_limbs, np_limbs, vec: bool = False):
+    return _emit_mont_reduce(
+        _emit_mul_wide_const(x, const_limbs, vec), p_limbs, np_limbs, vec
+    )
 
 
 def _emit_add(a, b, p_limbs):

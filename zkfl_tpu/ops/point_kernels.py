@@ -45,7 +45,7 @@ from .limb_kernels import (
     _limbs,
 )
 
-POINT_BLK = 1024
+POINT_BLK = 2048
 
 _PL = FQK._PL
 _NPL = FQK._NPL
@@ -66,9 +66,13 @@ def _store(ref, c, limbs):
 
 
 def _padd_kernel(p_ref, q_ref, o_ref):
-    """Complete projective G1 addition, RCB15 alg. 7 (a=0), fully fused."""
-    mul = lambda a, b: _emit_mont_mul(a, b, _PL, _NPL)
-    mulb3 = lambda a: _emit_mont_mul_const(a, _B3_G1, _PL, _NPL)
+    """Complete projective G1 addition, RCB15 alg. 7 (a=0), fully fused.
+
+    vec=True emit style: 12 fused multiplies per addition trace ~8x
+    smaller and measured faster at POINT_BLK lanes (limb_kernels emit
+    styles)."""
+    mul = lambda a, b: _emit_mont_mul(a, b, _PL, _NPL, vec=False)
+    mulb3 = lambda a: _emit_mont_mul_const(a, _B3_G1, _PL, _NPL, vec=False)
     add = lambda a, b: _emit_add(a, b, _PL)
     sub = lambda a, b: _emit_sub(a, b, _PL)
 
@@ -96,8 +100,8 @@ def _padd_kernel(p_ref, q_ref, o_ref):
 
 def _pdbl_kernel(p_ref, o_ref):
     """Complete projective G1 doubling, RCB15 alg. 9 (a=0), fully fused."""
-    mul = lambda a, b: _emit_mont_mul(a, b, _PL, _NPL)
-    mulb3 = lambda a: _emit_mont_mul_const(a, _B3_G1, _PL, _NPL)
+    mul = lambda a, b: _emit_mont_mul(a, b, _PL, _NPL, vec=False)
+    mulb3 = lambda a: _emit_mont_mul_const(a, _B3_G1, _PL, _NPL, vec=False)
     add = lambda a, b: _emit_add(a, b, _PL)
     sub = lambda a, b: _emit_sub(a, b, _PL)
 
