@@ -67,21 +67,21 @@ def run_point(n: int, cache_dir: str) -> dict:
         "siblings": sib, "pathIndices": idx,
     }
     t0 = time.time()
-    bal_wit = generate_witness(cfg.balance_params, bal_inputs)
+    bal_wit = generate_witness(cfg.balance_params, bal_inputs).witness
     model = [0] * cfg.model_dim
-    tr_wit = client.training_witness(model)
+    tr_wit = client.training_witness(model)  # already a witness list
     out["witness_s"] = round(time.time() - t0, 2)
 
     # first (compile-inclusive) and steady proves, both verified
     t0 = time.time()
-    bp = groth16_prove(bal_pk, bal_cs, bal_wit.witness, engine=engine)
-    tp = groth16_prove(tr_pk, tr_cs, tr_wit.witness, engine=engine)
+    bp = groth16_prove(bal_pk, bal_cs, bal_wit, engine=engine)
+    tp = groth16_prove(tr_pk, tr_cs, tr_wit, engine=engine)
     out["prove_first_s"] = round(time.time() - t0, 2)
     assert groth16_verify(bal_vk, bp) and groth16_verify(tr_vk, tp)
 
     t0 = time.time()
-    bp = groth16_prove(bal_pk, bal_cs, bal_wit.witness, engine=engine)
-    tp = groth16_prove(tr_pk, tr_cs, tr_wit.witness, engine=engine)
+    bp = groth16_prove(bal_pk, bal_cs, bal_wit, engine=engine)
+    tp = groth16_prove(tr_pk, tr_cs, tr_wit, engine=engine)
     out["prove_s"] = round(time.time() - t0, 3)
     assert groth16_verify(bal_vk, bp) and groth16_verify(tr_vk, tp)
 
