@@ -8,11 +8,12 @@ time witness->proof through the fused device pipeline (padded to the
 round's shared PipelineProfile, i.e. the shape it runs at in production);
 vs_baseline = baseline / ours (>1 means faster than the reference).
 
-First-proof latency: the fused pipeline executable is loaded AOT from
-artifacts/aot (built once by scripts/aot_prewarm.py on this chip —
-zkfl_tpu/groth16/aot.py), so a fresh process skips the ~2 min trace +
-several-minute XLA/Mosaic compile entirely.  Without the artifact the jit
-path still runs, just slowly (the r03 failure mode).
+First-proof latency: on the tunneled axon platform the AOT-deserialize
+path recompiles on first call (groth16/aot.py), so the cold path runs an
+instrumented lower/compile (device_prover._compile_pipeline) and reports
+the trace vs backend-compile split in extras["first_prove_breakdown"];
+the remainder of first_prove_s is the server-side program load the
+platform charges on each executable's first run.
 
 extras (north-star metrics, BASELINE.json; CHEAP KERNEL METRICS RUN FIRST
 so budget pressure can only cost the expensive full-round entry, not the
